@@ -1,0 +1,378 @@
+"""Geometry kernels: rect IoU, polygon IoU, NMS, table adjacency/cliques.
+
+All are numpy (vectorized where the semantics allow) and run inside
+Arrow batch UDFs / applyInPandas stages — never per-row Python UDFs.
+
+Reference semantics re-expressed (not copied) from:
+- rect_max_iou: intersection / min(area) with addone=0 (mmdet2
+  convention) — davarocr/davar_table/core/bbox/bbox_process.py:154-177
+- nms_inter_classes: score-desc sequential suppression at IoU>=thr
+  using rect_max_iou — bbox_process.py:180-214
+- bbox2adj: midpoint-containment row/col adjacency with 4px row /
+  0px col overlap tolerance — bbox_process.py:217-252
+- adj_to_cell: maximal cliques ordered by the mean coordinate of
+  nodes that belong to exactly one clique — post_lgpma.py:25-73
+- recon_noncell / recon_largecell: pseudo-bbox synthesis for empty /
+  aligned cells — bbox_process.py:15-151
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# rect IoU family
+# --------------------------------------------------------------------------
+def rect_max_iou(box_a, box_b) -> float:
+    """Intersection area divided by the SMALLER box area (addone=0)."""
+    ax0, ay0, ax1, ay1 = box_a[0], box_a[1], box_a[2], box_a[3]
+    bx0, by0, bx1, by1 = box_b[0], box_b[1], box_b[2], box_b[3]
+    iw = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+    ih = max(0.0, min(ay1, by1) - max(ay0, by0))
+    area_a = (ax1 - ax0) * (ay1 - ay0)
+    area_b = (bx1 - bx0) * (by1 - by0)
+    denom = min(area_a, area_b)
+    return (iw * ih) / denom if denom > 0 else 0.0
+
+
+def rect_max_iou_matrix(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Vectorized [n, m] rect_max_iou matrix."""
+    a = np.asarray(boxes_a, dtype=np.float64).reshape(-1, 4)
+    b = np.asarray(boxes_b, dtype=np.float64).reshape(-1, 4)
+    iw = np.clip(
+        np.minimum(a[:, None, 2], b[None, :, 2]) - np.maximum(a[:, None, 0], b[None, :, 0]),
+        0,
+        None,
+    )
+    ih = np.clip(
+        np.minimum(a[:, None, 3], b[None, :, 3]) - np.maximum(a[:, None, 1], b[None, :, 1]),
+        0,
+        None,
+    )
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    denom = np.minimum(area_a[:, None], area_b[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(denom > 0, (iw * ih) / denom, 0.0)
+    return out
+
+
+def rect_iou_matrix(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
+    """Standard IoU (intersection / union) matrix, [n, m]."""
+    a = np.asarray(boxes_a, dtype=np.float64).reshape(-1, 4)
+    b = np.asarray(boxes_b, dtype=np.float64).reshape(-1, 4)
+    iw = np.clip(
+        np.minimum(a[:, None, 2], b[None, :, 2]) - np.maximum(a[:, None, 0], b[None, :, 0]),
+        0,
+        None,
+    )
+    ih = np.clip(
+        np.minimum(a[:, None, 3], b[None, :, 3]) - np.maximum(a[:, None, 1], b[None, :, 1]),
+        0,
+        None,
+    )
+    inter = iw * ih
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
+def poly_to_rect(poly) -> tuple[float, float, float, float]:
+    """2N-point polygon -> axis-aligned rect (xmin, ymin, xmax, ymax).
+    Mirrors the even/odd coordinate split of davar_custom.py:315-319."""
+    xs = poly[0::2]
+    ys = poly[1::2]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+# --------------------------------------------------------------------------
+# convex polygon area / intersection (for hmean-style polygon matching)
+# --------------------------------------------------------------------------
+def poly_area(poly: np.ndarray) -> float:
+    """Shoelace area of a polygon given as [n, 2] points."""
+    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _clip_polygon(subject: np.ndarray, cx0, cy0, cx1, cy1) -> np.ndarray:
+    """Sutherland-Hodgman clip of polygon against one half-plane edge
+    (cx0,cy0)->(cx1,cy1), keeping the left side."""
+    out = []
+    n = len(subject)
+    ex, ey = cx1 - cx0, cy1 - cy0
+
+    def inside(p):
+        return ex * (p[1] - cy0) - ey * (p[0] - cx0) <= 0
+
+    def intersect(p, q):
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        denom = ex * dy - ey * dx
+        if denom == 0:
+            return q
+        t = (ex * (cy0 - p[1]) - ey * (cx0 - p[0])) / -denom
+        return (p[0] + t * dx, p[1] + t * dy)
+
+    for i in range(n):
+        cur, nxt = subject[i], subject[(i + 1) % n]
+        cur_in, nxt_in = inside(cur), inside(nxt)
+        if cur_in:
+            out.append(tuple(cur))
+            if not nxt_in:
+                out.append(intersect(cur, nxt))
+        elif nxt_in:
+            out.append(intersect(cur, nxt))
+    return np.array(out, dtype=np.float64) if out else np.zeros((0, 2))
+
+
+def convex_poly_intersection_area(poly_a, poly_b) -> float:
+    """Intersection area of two CONVEX polygons ([n,2] clockwise points)."""
+    a = np.asarray(poly_a, dtype=np.float64).reshape(-1, 2)
+    b = np.asarray(poly_b, dtype=np.float64).reshape(-1, 2)
+    # ensure clockwise orientation of the clip polygon
+    if _signed_area(b) > 0:
+        b = b[::-1]
+    clipped = a
+    n = len(b)
+    for i in range(n):
+        if len(clipped) == 0:
+            return 0.0
+        clipped = _clip_polygon(clipped, b[i][0], b[i][1], b[(i + 1) % n][0], b[(i + 1) % n][1])
+    return poly_area(clipped) if len(clipped) >= 3 else 0.0
+
+
+def _signed_area(p: np.ndarray) -> float:
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def poly_iou(poly_a, poly_b) -> float:
+    """IoU of two convex polygons (flat [x1,y1,...] or [n,2])."""
+    a = np.asarray(poly_a, dtype=np.float64).reshape(-1, 2)
+    b = np.asarray(poly_b, dtype=np.float64).reshape(-1, 2)
+    inter = convex_poly_intersection_area(a, b)
+    union = poly_area(a) + poly_area(b) - inter
+    return inter / union if union > 0 else 0.0
+
+
+# --------------------------------------------------------------------------
+# NMS (score-ordered sequential suppression)
+# --------------------------------------------------------------------------
+def nms_rects(boxes_scores: np.ndarray, iou_thres: float = 0.3, use_max_iou: bool = True) -> np.ndarray:
+    """Greedy NMS over [n, 5] (x0,y0,x1,y1,score) rows. Returns the kept
+    row indices in original order. Matches nms_inter_classes semantics:
+    score-desc order, suppress when IoU >= thr (rect_max_iou by default).
+    """
+    arr = np.asarray(boxes_scores, dtype=np.float64).reshape(-1, 5)
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    order = np.argsort(-arr[:, 4], kind="stable")
+    iou = (
+        rect_max_iou_matrix(arr[:, :4], arr[:, :4])
+        if use_max_iou
+        else rect_iou_matrix(arr[:, :4], arr[:, :4])
+    )
+    alive = np.ones(n, dtype=bool)
+    for idx, cur in enumerate(order):
+        if not alive[cur]:
+            continue
+        rest = order[idx + 1 :]
+        suppress = rest[iou[cur, rest] >= iou_thres]
+        alive[suppress] = False
+    return np.flatnonzero(alive)
+
+
+# --------------------------------------------------------------------------
+# table structure: adjacency -> cliques -> cell spans
+# --------------------------------------------------------------------------
+def bbox2adj(bboxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row/col adjacency of aligned cell rects (vectorized).
+
+    Two cells are row-adjacent if either's y-midpoint lies strictly
+    inside the other's y-extent, or (special case) their y-extents
+    overlap by more than 4px AND some third cell's y-midpoint lies in
+    the shared band. Columns are symmetric with 0px tolerance.
+    """
+    b = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
+    n = len(b)
+    x_mid = (b[:, 0] + b[:, 2]) / 2.0
+    y_mid = (b[:, 1] + b[:, 3]) / 2.0
+
+    def _adj(lo, hi, mid, tol):
+        # midpoint containment: mid[j] strictly inside (lo[i], hi[i])
+        contain = (lo[None, :] < mid[:, None]) & (mid[:, None] < hi[None, :])
+        adj = contain | contain.T
+        # special relationship: overlap beyond tolerance with a witness midpoint
+        olo = np.maximum(lo[:, None], lo[None, :])
+        ohi = np.minimum(hi[:, None], hi[None, :])
+        overlap = ~((lo[None, :] + tol >= hi[:, None]) | (lo[:, None] + tol >= hi[None, :]))
+        witness = (olo[:, :, None] < mid[None, None, :]) & (mid[None, None, :] < ohi[:, :, None])
+        special = overlap & witness.any(axis=2)
+        return (adj | special | special.T).astype(np.int64)
+
+    adjr = _adj(b[:, 1], b[:, 3], y_mid, 4.0)
+    adjc = _adj(b[:, 0], b[:, 2], x_mid, 0.0)
+    if n:
+        np.fill_diagonal(adjr, 1)
+        np.fill_diagonal(adjc, 1)
+    return adjr, adjc
+
+
+def _bron_kerbosch(adj_sets: list[set], n: int):
+    """Maximal cliques via Bron-Kerbosch with pivoting (iterative)."""
+    cliques = []
+    stack = [(set(), set(range(n)), set())]
+    while stack:
+        r, p, x = stack.pop()
+        if not p and not x:
+            cliques.append(sorted(r))
+            continue
+        pivot = max(p | x, key=lambda v: len(adj_sets[v] & p))
+        for v in sorted(p - adj_sets[pivot]):
+            stack.append((r | {v}, p & adj_sets[v], x & adj_sets[v]))
+            p = p - {v}
+            x = x | {v}
+    return cliques
+
+
+def adj_to_cell(adj: np.ndarray, bboxes: np.ndarray, mod: str) -> list[np.ndarray]:
+    """Cell start/end row (or col) indices from the adjacency matrix.
+
+    Each maximal clique of the adjacency graph is one table row (col).
+    Cliques are ordered by the int-truncated mean of (lo+hi) over the
+    nodes that belong to exactly one clique (falling back to the whole
+    clique when every node spans multiple cliques).
+    """
+    assert mod in ("row", "col")
+    b = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
+    n = adj.shape[0]
+    adj_sets = [set(np.flatnonzero(adj[i]).tolist()) - {i} for i in range(n)]
+    cliques = _bron_kerbosch(adj_sets, n)
+
+    times = np.zeros(n)
+    for clique in cliques:
+        for node in clique:
+            times[node] += 1
+    keys = []
+    for clique in cliques:
+        nospan = [v for v in clique if times[v] == 1]
+        select = nospan if nospan else clique
+        if mod == "row":
+            key = (b[select, 1] + b[select, 3]).mean()
+        else:
+            key = (b[select, 0] + b[select, 2]).mean()
+        keys.append(int(key))
+    order = np.argsort(np.asarray(keys), kind="stable")
+
+    listcell: list[np.ndarray] = [np.array([], dtype=np.int64) for _ in range(n)]
+    for rank, clique_idx in enumerate(order):
+        for node in cliques[clique_idx]:
+            listcell[node] = np.append(listcell[node], rank)
+    return listcell
+
+
+# --------------------------------------------------------------------------
+# empty / aligned cell pseudo-bboxes
+# --------------------------------------------------------------------------
+def recon_noncell(bboxlist: list, celllist: list, imgshape: tuple, padding: int = 1) -> list:
+    """Synthesize bboxes for empty cells from row/col neighbors.
+
+    For an empty cell, each edge comes from the matching edge of
+    non-empty cells sharing that start/end row/col; if the whole
+    row/col is empty, walk outward to the nearest non-empty row/col and
+    pad by ``padding`` (or clamp to the image border).
+    """
+    cells_non = np.array([c for bb, c in zip(bboxlist, celllist) if bb], dtype=np.int64)
+    boxes_non = np.array([bb for bb in bboxlist if bb], dtype=np.float64)
+    out = [list(bb) if bb else [] for bb in bboxlist]
+    cells = np.asarray(celllist, dtype=np.int64)
+    max_row = cells_non[:, 2].max() if len(cells_non) else 0
+    max_col = cells_non[:, 3].max() if len(cells_non) else 0
+
+    for i, bb in enumerate(bboxlist):
+        if bb:
+            continue
+        r0, c0, r1, c1 = cells[i]
+
+        top = np.flatnonzero(cells_non[:, 0] == r0)
+        if len(top):
+            ymin = boxes_non[top, 1].min()
+        elif r0 == 0:
+            ymin = padding
+        else:
+            step = 1
+            hit = np.flatnonzero(cells_non[:, 2] == r0 - step)
+            while len(hit) == 0 and (r0 - step) > 0:
+                step += 1
+                hit = np.flatnonzero(cells_non[:, 2] == r0 - step)
+            ymin = boxes_non[hit, 3].max() + padding if len(hit) else padding
+
+        bot = np.flatnonzero(cells_non[:, 2] == r1)
+        if len(bot):
+            ymax = boxes_non[bot, 3].max()
+        elif r1 >= max_row:
+            ymax = imgshape[0] - padding
+        else:
+            step = 1
+            hit = np.flatnonzero(cells_non[:, 0] == r1 + step)
+            while len(hit) == 0 and (r1 + step) <= max_row - 1:
+                step += 1
+                hit = np.flatnonzero(cells_non[:, 0] == r1 + step)
+            ymax = boxes_non[hit, 1].min() - padding if len(hit) else imgshape[0] - padding
+
+        left = np.flatnonzero(cells_non[:, 1] == c0)
+        if len(left):
+            xmin = boxes_non[left, 0].min()
+        elif c0 == 0:
+            xmin = padding
+        else:
+            step = 1
+            hit = np.flatnonzero(cells_non[:, 3] == c0 - step)
+            while len(hit) == 0 and (c0 - step) > 0:
+                step += 1
+                hit = np.flatnonzero(cells_non[:, 3] == c0 - step)
+            xmin = boxes_non[hit, 2].max() + padding if len(hit) else padding
+
+        right = np.flatnonzero(cells_non[:, 3] == c1)
+        if len(right):
+            xmax = boxes_non[right, 2].max()
+        elif c1 > max_col:
+            xmax = imgshape[1] - padding
+        else:
+            step = 1
+            hit = np.flatnonzero(cells_non[:, 1] == c1 + step)
+            while len(hit) == 0 and (c1 + step) <= max_col - 1:
+                step += 1
+                hit = np.flatnonzero(cells_non[:, 1] == c1 + step)
+            xmax = boxes_non[hit, 0].min() - padding if len(hit) else imgshape[1] - padding
+
+        out[i] = [int(xmin), int(ymin), int(xmax), int(ymax)]
+    return out
+
+
+def recon_largecell(bboxlist: list, celllist: list) -> list:
+    """Align every cell bbox to the extremes of its start/end row/col
+    groups (min of lefts in same start-col, max of rights in same
+    end-col, etc.)."""
+    boxes = np.asarray(bboxlist, dtype=np.int64).reshape(-1, 4)
+    cells = np.asarray(celllist, dtype=np.int64).reshape(-1, 4)
+    out = []
+    for i in range(len(boxes)):
+        r0, c0, r1, c1 = cells[i]
+        same_r0 = boxes[cells[:, 0] == r0]
+        same_r1 = boxes[cells[:, 2] == r1]
+        same_c0 = boxes[cells[:, 1] == c0]
+        same_c1 = boxes[cells[:, 3] == c1]
+        out.append(
+            [
+                int(same_c0[:, 0].min()),
+                int(same_r0[:, 1].min()),
+                int(same_c1[:, 2].max()),
+                int(same_r1[:, 3].max()),
+            ]
+        )
+    return out

@@ -1,0 +1,96 @@
+"""Table HTML assembly — parity with the reference's generate_html.
+
+Re-expressed from davarocr/davar_table/core/post_processing/
+generate_html.py:16-182 (area_to_html, format_html). The area grid is
+scanned row-major; each visited cell emits <td> with row/colspan
+derived from run lengths in the extended grid; a row whose head-label
+cells outnumber body-label cells advances the </thead> insertion point
+(quirk preserved: when no head row exists the FIRST row still lands
+inside <thead>). format_html splices cell text after '<td>' / '>'
+tokens in reverse, html-escaping single-char tokens.
+"""
+
+from __future__ import annotations
+
+from html import escape
+
+import numpy as np
+
+
+def area_to_html(area: np.ndarray, labels: list, texts: list) -> tuple[list, list]:
+    """Structure tokens + per-cell text from a cell-id area grid.
+
+    area: [R, C] grid; cell ids are 1-based, empty cells <= 0.
+    labels: per non-empty cell, [0]=head-ish (falsy) or [1]=body (truthy).
+    texts: per non-empty cell, the cell text (str or token list).
+    Returns (html_struct tokens, text_tokens dicts).
+    """
+    rows, cols = area.shape
+    ext = np.zeros((rows + 1, cols + 1))
+    ext[:-1, :-1] = area
+    struct: list[str] = []
+    cell_texts: list[dict] = []
+    headend = 0
+
+    for r in range(rows):
+        struct.append("<tr>")
+        c = 0
+        numhead = numbody = 0
+        while c < cols:
+            if r != 0 and ext[r, c] == ext[r - 1, c]:
+                c += 1  # continuation of a rowspan from above
+                continue
+            same_below = ext[r, c] == ext[r + 1, c]
+            same_right = ext[r, c] == ext[r, c + 1]
+            rowspan = colspan = 1
+            if same_below:
+                while ext[r, c] == ext[r + rowspan, c]:
+                    rowspan += 1
+                    if r + rowspan == rows:
+                        break
+            if same_right:
+                while ext[r, c] == ext[r, c + colspan]:
+                    colspan += 1
+                    if c + colspan == cols:
+                        break
+            if rowspan == 1 and colspan == 1:
+                struct.append("<td>")
+            else:
+                struct.append("<td")
+                if rowspan > 1:
+                    struct.append(' rowspan="%s"' % rowspan)
+                if colspan > 1:
+                    struct.append(' colspan="%s"' % colspan)
+                struct.append(">")
+            struct.append("</td>")
+
+            cid = int(ext[r, c])
+            cell_texts.append({"tokens": texts[cid - 1] if cid >= 1 else [""]})
+            if cid >= 1:
+                if labels[cid - 1][0]:
+                    numbody += 1
+                else:
+                    numhead += 1
+            c += colspan
+        struct.append("</tr>")
+        if numhead > numbody:
+            headend = r + 1
+
+    tr_ends = [i for i, tok in enumerate(struct) if tok == "</tr>"]
+    anchor = tr_ends[headend - 1] if headend else tr_ends[0]
+    struct.insert(anchor + 1, "</thead>")
+    struct.insert(anchor + 2, "<tbody>")
+    struct.insert(0, "<thead>")
+    struct.append("</tbody>")
+    return struct, cell_texts
+
+
+def format_html(html_struct: list, text_tokens: list) -> str:
+    """Final table html: splice cell contents into the structure tokens."""
+    code = list(html_struct)
+    slots = [i for i, tok in enumerate(code) if tok in ("<td>", ">")]
+    for i, cell in zip(slots[::-1], text_tokens[::-1]):
+        if cell["tokens"]:
+            parts = [escape(tok) if len(tok) == 1 else tok for tok in cell["tokens"]]
+            code.insert(i + 1, "".join(parts))
+    return "<html><body><table>%s</table></body></html>" % "".join(code)

@@ -1,0 +1,118 @@
+"""LGPMA-style table structure recovery.
+
+Chain (post_lgpma.py:321-406 semantics, re-expressed):
+  aligned cell bboxes -> bbox2adj -> maximal-clique row/col assignment
+  -> cell (r0,c0,r1,c1) spans -> empty-cell grid fill -> area_to_html
+  -> format_html.
+
+Engine label convention: cells whose start row is 0 are header cells
+(label [0]), the rest body ([1]) — the reference takes labels from the
+detector's 2-class output (head/body); our synthetic corpus has no
+detector classes, so row-0 = header is the documented stand-in.
+
+Exposed as:
+- ``recover_table_html``: per-table pure function (numpy; runs inside
+  the decode batch UDF);
+- ``ocr_result_matching``: OCR line -> cell assignment with the exact
+  max-IoU >= 0.75 / y-sort / '%'-'-' merge rule (post_lgpma.py:241-288);
+- ``lgpma_stage``: applyInPandas stage over a table-rows DataFrame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.geometry import adj_to_cell, bbox2adj, rect_max_iou_matrix
+from ..functions.html import area_to_html, format_html
+
+
+def derive_cells(cell_bboxes: list[list[float]]) -> list[list[int]]:
+    """Cell (r0, c0, r1, c1) spans from aligned bboxes alone."""
+    boxes = np.asarray([[round(v) for v in bb] for bb in cell_bboxes], dtype=np.float64)
+    adjr, adjc = bbox2adj(boxes)
+    rowspan = adj_to_cell(adjr, boxes, "row")
+    colspan = adj_to_cell(adjc, boxes, "col")
+    return [
+        [int(r.min()), int(c.min()), int(r.max()), int(c.max())]
+        for r, c in zip(rowspan, colspan)
+    ]
+
+
+def recover_table_html(cell_bboxes: list[list[float]], cell_texts: list[str]) -> str:
+    """Full structure recovery: bboxes + texts -> final table html."""
+    if not cell_bboxes:
+        return ""
+    cells = derive_cells(cell_bboxes)
+    cells_np = np.asarray(cells, dtype=np.int64)
+
+    # occupancy grid; gaps become empty cells with unique negative ids
+    area = np.zeros((cells_np[:, 2].max() + 1, cells_np[:, 3].max() + 1))
+    for cid, (r0, c0, r1, c1) in enumerate(cells):
+        area[r0 : r1 + 1, c0 : c1 + 1] = cid + 1
+    empty_id = -1
+    for r in range(area.shape[0]):
+        for c in range(area.shape[1]):
+            if area[r, c] == 0:
+                area[r, c] = empty_id
+                empty_id -= 1
+
+    labels = [[0] if r0 == 0 else [1] for (r0, _c0, _r1, _c1) in cells]
+    struct, toks = area_to_html(area, labels, list(cell_texts))
+    return format_html(struct, toks)
+
+
+def ocr_result_matching(
+    cell_bboxes: list, ocr_bboxes: list, ocr_texts: list, iou_thres: float = 0.75
+) -> list[str]:
+    """Assign OCR lines to cells: rect_max_iou >= thres, order matched
+    lines by their y0 (stable insertion), join with ' ' unless the next
+    line starts with '%' or the accumulated text ends with '-'."""
+    if not cell_bboxes:
+        return []
+    if not ocr_bboxes:
+        return [""] * len(cell_bboxes)
+    iou = rect_max_iou_matrix(
+        np.asarray(cell_bboxes, dtype=np.float64),
+        np.asarray(ocr_bboxes, dtype=np.float64),
+    )
+    ys = np.asarray([b[1] for b in ocr_bboxes], dtype=np.float64)
+    out = []
+    for i in range(len(cell_bboxes)):
+        matched = np.flatnonzero(iou[i] >= iou_thres)
+        # stable sort by y0 mirrors the reference's insertion loop
+        matched = matched[np.argsort(ys[matched], kind="stable")]
+        texts = [ocr_texts[j] for j in matched if len(ocr_texts[j])]
+        if not texts:
+            out.append("")
+        elif len(texts) == 1:
+            out.append(texts[0])
+        else:
+            merge = texts[0]
+            for txt in texts[1:]:
+                if txt[0] != "%" and merge[-1] != "-":
+                    merge += " "
+                merge += txt
+            out.append(merge)
+    return out
+
+
+def lgpma_stage(df, bboxes_col="cell_bboxes", texts_col="cell_texts", out_col="html"):
+    """mapInPandas stage: rows (doc_id, cell_bboxes, cell_texts, ...) ->
+    same rows + html column. Tables are small (<=10^3 cells); one batch
+    processes many tables."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.StringType())])
+
+    def run(batches):
+        for pdf in batches:
+            htmls = [
+                recover_table_html(bb if bb is not None else [], tt if tt is not None else [])
+                for bb, tt in zip(pdf[bboxes_col], pdf[texts_col])
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = htmls
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

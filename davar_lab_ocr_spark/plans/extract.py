@@ -1,0 +1,108 @@
+"""The flagship end-to-end extraction plan.
+
+raw_documents (doc_id, width, height, regions[]) -> documents
+(doc_id, spans array<struct<kind,text,media_ref,offset>>).
+
+Stage map (SURVEY.md §3.3; reference pipeline tools/test.py ->
+single_gpu_test -> post_processing -> evaluate):
+
+  1. corpus filter        — SQL predicates (davar_custom._filter_imgs
+                            semantics: drop .gif ids, min side >= 32,
+                            at least one cared region)
+  2. explode + care mask  — posexplode_outer of the region array,
+                            filter(care=1); salt = pmod(pos, S) for
+                            two-phase skew-safe re-aggregation
+  3. layout classify      — kind = KINDS[argmax(kind_scores)], pure
+                            JVM exprs (array_position/array_max), the
+                            VSR-decode analog (vsr.py:420-437)
+  4. decode               — mapInPandas Arrow batches: vectorized CTC /
+                            attention decode; per-table LGPMA recovery
+  5. partial agg          — groupBy(doc_id, salt).collect_list(span)
+                            bounds any single reducer's work on giant
+                            (10^4-region) documents
+  6. final agg + order    — groupBy(doc_id): flatten partials,
+                            array_sort by (y0, x0) — the xy-cut
+                            reading-order serialization (lexsort
+                            analog, post_lgpma.py:394) — then
+                            transform to attach dense offsets
+
+Exactly two wide operations after the scan (the two groupBys); all
+expressions JVM-side except the batched decode kernel.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..corpus import KINDS
+from ..operators.decode import decode_stage
+
+DEFAULT_SALT_BUCKETS = 16
+
+
+def filter_documents(raw: DataFrame) -> DataFrame:
+    """Corpus-level filter (davar_custom.py:182-207 semantics)."""
+    cared = F.size(F.filter("regions", lambda r: r["care"] == 1))
+    return raw.filter(
+        (~F.col("doc_id").endswith(".gif"))
+        & (F.least("width", "height") >= 32)
+        & (cared > 0)
+    )
+
+
+def classify_kind(col_scores) -> F.Column:
+    """argmax over the score array -> kind string, all JVM-side."""
+    kinds = F.array(*[F.lit(k) for k in KINDS])
+    idx = F.array_position(col_scores, F.array_max(col_scores)).cast("int")
+    return F.element_at(kinds, idx)
+
+
+def extract(raw: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Run the full extraction pipeline."""
+    exploded = (
+        filter_documents(raw)
+        .select("doc_id", F.posexplode("regions").alias("pos", "r"))
+        .filter(F.col("r.care") == 1)
+        .select(
+            "doc_id",
+            F.pmod(F.col("pos"), F.lit(salt_buckets)).cast("int").alias("salt"),
+            F.col("r.bbox")[1].alias("y0"),
+            F.col("r.bbox")[0].alias("x0"),
+            classify_kind(F.col("r.kind_scores")).alias("kind"),
+            F.col("r.pred_ids").alias("pred_ids"),
+            F.col("r.mode").alias("mode"),
+            F.col("r.media_ref").alias("media_ref"),
+            F.col("r.cell_bboxes").alias("cell_bboxes"),
+            F.col("r.cell_texts").alias("cell_texts"),
+        )
+    )
+
+    decoded = decode_stage(exploded)
+
+    keyed = decoded.select(
+        "doc_id",
+        "salt",
+        F.struct("y0", "x0", "kind", "text", "media_ref").alias("span_k"),
+    )
+
+    # two-phase skew-safe aggregation: partial per (doc_id, salt), then merge
+    partial = keyed.groupBy("doc_id", "salt").agg(
+        F.collect_list("span_k").alias("part")
+    )
+    merged = partial.groupBy("doc_id").agg(
+        F.flatten(F.collect_list("part")).alias("spans_unsorted")
+    )
+
+    # xy-cut reading order: array_sort over struct(y0, x0, ...) sorts
+    # lexicographically by field order; offsets attached positionally
+    spans = F.transform(
+        F.array_sort("spans_unsorted"),
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return merged.select("doc_id", spans.alias("spans"))

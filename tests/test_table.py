@@ -1,0 +1,170 @@
+"""Goldens for the LGPMA table chain: bbox2adj -> cliques -> cells ->
+empty fill -> area_to_html -> format_html, plus ocr matching.
+
+Clique derivation is cross-checked against networkx find_cliques (the
+library the reference uses, post_lgpma.py:48).
+"""
+
+import numpy as np
+import pytest
+
+from davar_lab_ocr_spark.functions.geometry import (
+    adj_to_cell,
+    bbox2adj,
+    recon_largecell,
+    recon_noncell,
+    rect_max_iou,
+)
+from davar_lab_ocr_spark.functions.html import area_to_html, format_html
+from davar_lab_ocr_spark.operators.table import (
+    derive_cells,
+    ocr_result_matching,
+    recover_table_html,
+)
+
+
+def grid_boxes(cells, col_w=80, row_h=30, inset=4):
+    return [
+        [c0 * col_w + inset, r0 * row_h + inset, (c1 + 1) * col_w - inset, (r1 + 1) * row_h - inset]
+        for (r0, c0, r1, c1) in cells
+    ]
+
+
+def test_rect_max_iou_uses_smaller_area():
+    # small box fully inside big one -> 1.0 regardless of big box size
+    assert rect_max_iou([0, 0, 10, 10], [2, 2, 4, 4]) == pytest.approx(1.0)
+    assert rect_max_iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+    # half-overlapping equal boxes: inter 50, min area 100
+    assert rect_max_iou([0, 0, 10, 10], [5, 0, 15, 10]) == pytest.approx(0.5)
+
+
+def test_bbox2adj_simple_grid():
+    cells = [(0, 0, 0, 0), (0, 1, 0, 1), (1, 0, 1, 0), (1, 1, 1, 1)]
+    boxes = np.array(grid_boxes(cells), dtype=float)
+    adjr, adjc = bbox2adj(boxes)
+    # rows: (0,1) and (2,3); cols: (0,2) and (1,3)
+    assert adjr[0, 1] and adjr[2, 3] and not adjr[0, 2] and not adjr[1, 3]
+    assert adjc[0, 2] and adjc[1, 3] and not adjc[0, 1] and not adjc[2, 3]
+
+
+def test_derive_cells_grid_and_spans():
+    # 3x3 with a rowspan cell (rows 1-2, col 0) and a colspan cell (row 1, cols 1-2)
+    cells = [
+        (0, 0, 0, 0), (0, 1, 0, 1), (0, 2, 0, 2),
+        (1, 0, 2, 0),  # rowspan 2
+        (1, 1, 1, 2),  # colspan 2
+        (2, 1, 2, 1), (2, 2, 2, 2),
+    ]
+    got = derive_cells(grid_boxes(cells))
+    assert got == [list(c) for c in cells]
+
+
+def test_adj_to_cell_matches_networkx():
+    import networkx as nx
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n_rows, n_cols = rng.integers(2, 5), rng.integers(2, 5)
+        cells = [(r, c, r, c) for r in range(n_rows) for c in range(n_cols)]
+        boxes = np.array(grid_boxes(cells), dtype=float)
+        adjr, _ = bbox2adj(boxes)
+        ours = adj_to_cell(adjr, boxes, "row")
+        g = nx.Graph()
+        g.add_nodes_from(range(len(boxes)))
+        g.add_edges_from(zip(*np.where(np.triu(adjr, 1))))
+        nx_cliques = {frozenset(c) for c in nx.find_cliques(g)}
+        # same clique set (ordering tested via derive_cells goldens)
+        row_groups = {}
+        for i, arr in enumerate(ours):
+            row_groups.setdefault(tuple(arr.tolist()), set()).add(i)
+        assert {frozenset(v) for v in row_groups.values()} == nx_cliques
+
+
+def test_area_to_html_golden_simple():
+    # 2x2 full grid, head = row 0
+    area = np.array([[1, 2], [3, 4]])
+    labels = [[0], [0], [1], [1]]
+    texts = ["h1", "h2", "b1", "b2"]
+    struct, toks = area_to_html(area, labels, texts)
+    assert struct == [
+        "<thead>", "<tr>", "<td>", "</td>", "<td>", "</td>", "</tr>", "</thead>",
+        "<tbody>", "<tr>", "<td>", "</td>", "<td>", "</td>", "</tr>", "</tbody>",
+    ]
+    html = format_html(struct, toks)
+    assert html == (
+        "<html><body><table><thead><tr><td>h1</td><td>h2</td></tr></thead>"
+        "<tbody><tr><td>b1</td><td>b2</td></tr></tbody></table></body></html>"
+    )
+
+
+def test_area_to_html_spans_and_empty():
+    # row 0: colspan-2 head cell; row 1: cell + empty
+    area = np.array([[1, 1], [2, -1]])
+    labels = [[0], [1]]
+    texts = ["head", "body"]
+    struct, toks = area_to_html(area, labels, texts)
+    assert struct == [
+        "<thead>", "<tr>", "<td", ' colspan="2"', ">", "</td>", "</tr>", "</thead>",
+        "<tbody>", "<tr>", "<td>", "</td>", "<td>", "</td>", "</tr>", "</tbody>",
+    ]
+    html = format_html(struct, toks)
+    assert html == (
+        '<html><body><table><thead><tr><td colspan="2">head</td></tr></thead>'
+        "<tbody><tr><td>body</td><td></td></tr></tbody></table></body></html>"
+    )
+
+
+def test_area_to_html_rowspan():
+    area = np.array([[1, 2], [1, 3]])
+    labels = [[0], [0], [1]]
+    texts = ["a", "b", "c"]
+    struct, _ = area_to_html(area, labels, texts)
+    assert struct == [
+        "<thead>", "<tr>", "<td", ' rowspan="2"', ">", "</td>", "<td>", "</td>",
+        "</tr>", "</thead>", "<tbody>", "<tr>", "<td>", "</td>", "</tr>", "</tbody>",
+    ]
+
+
+def test_format_html_escapes_single_char_tokens():
+    area = np.array([[1]])
+    struct, toks = area_to_html(area, [[1]], ["<"])
+    assert "&lt;" in format_html(struct, toks)
+
+
+def test_recover_table_html_end_to_end():
+    cells = [(0, 0, 0, 1), (1, 0, 1, 0), (1, 1, 1, 1)]
+    html = recover_table_html(grid_boxes(cells), ["wide", "x", "y"])
+    assert html == (
+        '<html><body><table><thead><tr><td colspan="2">wide</td></tr></thead>'
+        "<tbody><tr><td>x</td><td>y</td></tr></tbody></table></body></html>"
+    )
+
+
+def test_ocr_matching_merge_rules():
+    cells = [[0, 0, 100, 100]]
+    # three lines inside the cell, out of y order
+    ocr_boxes = [[10, 40, 90, 60], [10, 10, 90, 30], [10, 70, 90, 90]]
+    texts = ["mid-", "top", "%bot"]
+    got = ocr_result_matching(cells, ocr_boxes, texts)
+    # y-order: 'top', 'mid-', '%bot'; 'top mid-' ('-' suffix -> no space) '%bot' (no space)
+    assert got == ["top mid-%bot"]
+    # non-matching line excluded
+    got2 = ocr_result_matching(cells, [[200, 200, 300, 300]], ["far"])
+    assert got2 == [""]
+
+
+def test_recon_noncell_walk():
+    # 2x2 grid, cell (1,1) empty; neighbors define its pseudo-bbox
+    bboxes = [[10, 10, 50, 30], [60, 10, 100, 30], [10, 40, 50, 60], []]
+    cells = [[0, 0, 0, 0], [0, 1, 0, 1], [1, 0, 1, 0], [1, 1, 1, 1]]
+    out = recon_noncell(bboxes, cells, (200, 200))
+    # row 1 exists (ymin from row-1 cells' y0=40, ymax 60); col 1 exists (x 60..100)
+    assert out[3] == [60, 40, 100, 60]
+
+
+def test_recon_largecell_aligns():
+    bboxes = [[12, 10, 50, 30], [60, 8, 100, 30], [10, 40, 50, 62], [61, 40, 99, 60]]
+    cells = [[0, 0, 0, 0], [0, 1, 0, 1], [1, 0, 1, 0], [1, 1, 1, 1]]
+    out = recon_largecell(bboxes, cells)
+    assert out[0] == [10, 8, 50, 30]  # left col min x0=10, row 0 min y0=8
+    assert out[3] == [60, 40, 100, 62]
