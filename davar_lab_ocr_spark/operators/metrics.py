@@ -1,0 +1,197 @@
+"""Corpus evaluation metrics as DataFrame aggregations.
+
+Every metric decomposes into a per-doc kernel (applyInPandas /
+mapInPandas when geometric) followed by built-in global aggs — the
+partial+final structure the reference hand-rolls with multi_gpu_test
+sharding (davarocr/davar_common/apis/test.py:121-180) comes free.
+
+- det_hmean: IoU>0.5 greedy bipartite match per doc with don't-care
+  exclusion (area-precision>0.5), then corpus P/R/Hmean.
+  Reference: davarocr/davar_det/core/evaluation/hmean.py:15-349.
+- compute_ap: confidence-sorted cumulative precision sum / n_gt.
+  Reference: hmean.py compute_ap.
+- recognition_accuracy: exact-match rate + normalized edit distance.
+  Reference: davar_rcg_dataset.py:490-595.
+- total_order_acc: exact span-sequence equality rate.
+  Reference: di_order_dataset.py:38-75.
+- macro_f1: per-class F1 averaged (wildreceipt/ctunet style).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+from ..functions.geometry import poly_area, poly_iou, convex_poly_intersection_area
+
+_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("matched", T.IntegerType()),
+        T.StructField("care_det", T.IntegerType()),
+        T.StructField("care_gt", T.IntegerType()),
+    ]
+)
+
+
+def _match_one_doc(doc_id: str, pred, gt, iou_thr=0.5, area_prec_thr=0.5):
+    """Greedy 1-1 polygon match in (gt, det) index order (hmean.py
+    semantics; coordinates int-truncated as the reference does)."""
+    gt_polys = [np.asarray(g["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for g in gt]
+    det_polys = [
+        np.asarray(d["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for d in pred
+    ]
+    dontcare_gt = [i for i, g in enumerate(gt) if (g["care"] == 0) or (g["text"] == "###")]
+
+    dontcare_det = []
+    for j, dp in enumerate(det_polys):
+        d_area = poly_area(dp)
+        for i in dontcare_gt:
+            inter = convex_poly_intersection_area(dp, gt_polys[i])
+            prec = 0.0 if d_area == 0 else inter / d_area
+            if prec > area_prec_thr:
+                dontcare_det.append(j)
+                break
+
+    gt_used = np.zeros(len(gt_polys), dtype=bool)
+    det_used = np.zeros(len(det_polys), dtype=bool)
+    matched = 0
+    for i in range(len(gt_polys)):
+        for j in range(len(det_polys)):
+            if (
+                not gt_used[i]
+                and not det_used[j]
+                and i not in dontcare_gt
+                and j not in dontcare_det
+                and poly_iou(gt_polys[i], det_polys[j]) > iou_thr
+            ):
+                gt_used[i] = True
+                det_used[j] = True
+                matched += 1
+    return {
+        "doc_id": doc_id,
+        "matched": matched,
+        "care_det": len(det_polys) - len(dontcare_det),
+        "care_gt": len(gt_polys) - len(dontcare_gt),
+    }
+
+
+def det_match_stage(pairs: DataFrame, iou_thr: float = 0.5, area_prec_thr: float = 0.5) -> DataFrame:
+    """eval_pairs rows (doc_id, pred[], gt[]) -> per-doc match counts."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                _match_one_doc(d, p, g, iou_thr, area_prec_thr)
+                for d, p, g in zip(pdf["doc_id"], pdf["pred"], pdf["gt"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "matched", "care_det", "care_gt"])
+
+    return pairs.mapInPandas(run, schema=_MATCH_SCHEMA)
+
+
+def det_hmean(pairs: DataFrame, iou_thr: float = 0.5, area_prec_thr: float = 0.5) -> DataFrame:
+    """Corpus P/R/Hmean — one row (precision, recall, hmean)."""
+    per_doc = det_match_stage(pairs, iou_thr, area_prec_thr)
+    agg = per_doc.agg(
+        F.sum("matched").alias("m"),
+        F.sum("care_det").alias("d"),
+        F.sum("care_gt").alias("g"),
+    )
+    p = F.when(F.col("d") > 0, F.col("m") / F.col("d")).otherwise(F.lit(0.0))
+    r = F.when(F.col("g") > 0, F.col("m") / F.col("g")).otherwise(F.lit(0.0))
+    return agg.select(p.alias("p"), r.alias("r")).select(
+        F.round("p", 6).alias("precision"),
+        F.round("r", 6).alias("recall"),
+        F.round(
+            F.when(F.col("p") + F.col("r") > 0, 2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("hmean"),
+    )
+
+
+def compute_ap(
+    scored: DataFrame,
+    conf_col: str = "conf",
+    match_col: str = "matched",
+    id_col: str | None = None,
+    n_gt: int | None = None,
+) -> DataFrame:
+    """Average precision via confidence-desc cumulative precision
+    (hmean.py compute_ap as a window cumsum). scored: one row per care
+    detection with a boolean/int match flag. ``id_col`` breaks
+    confidence ties deterministically. If n_gt is None, uses the total
+    number of matches in ``scored``."""
+    order = [F.col(conf_col).desc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = Window.orderBy(*order)
+    ranked = (
+        scored.select(F.col(conf_col), F.col(match_col).cast("int").alias("m"), *( [F.col(id_col)] if id_col else [] ))
+        .withColumn("cum_correct", F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rank", F.row_number().over(w))
+    )
+    s = ranked.filter(F.col("m") == 1).agg(F.sum(F.col("cum_correct") / F.col("rank")).alias("s"))
+    if n_gt is not None:
+        return s.select(F.round(F.col("s") / F.lit(max(n_gt, 1)), 6).alias("ap"))
+    g = scored.agg(F.sum(F.col(match_col).cast("int")).alias("g"))
+    return s.crossJoin(g).select(
+        F.round(F.col("s") / F.greatest(F.col("g"), F.lit(1)), 6).alias("ap")
+    )
+
+
+def recognition_accuracy(df: DataFrame, pred_col: str = "pred", label_col: str = "label") -> DataFrame:
+    """Exact-match accuracy + normalized edit distance (NED); built-in
+    levenshtein (the reference uses python editdistance)."""
+    return df.agg(
+        F.round(F.avg((F.col(pred_col) == F.col(label_col)).cast("double")), 6).alias("acc"),
+        F.round(
+            F.avg(
+                F.levenshtein(pred_col, label_col)
+                / F.greatest(F.length(label_col), F.lit(1))
+            ),
+            6,
+        ).alias("ned"),
+    )
+
+
+def total_order_acc(pred_docs: DataFrame, gt_docs: DataFrame, on: str = "doc_id") -> DataFrame:
+    """Exact span-sequence equality rate between two documents tables."""
+    joined = pred_docs.alias("p").join(gt_docs.alias("g"), on)
+    return joined.agg(
+        F.round(F.avg((F.col("p.spans") == F.col("g.spans")).cast("double")), 6).alias(
+            "total_order_acc"
+        )
+    )
+
+
+def macro_f1(df: DataFrame, pred_col: str = "pred", label_col: str = "label") -> DataFrame:
+    """Macro-averaged F1 over classes present in labels."""
+    per_class = (
+        df.select(
+            F.col(label_col).alias("cls"),
+            (F.col(pred_col) == F.col(label_col)).cast("int").alias("tp_flag"),
+        )
+        .groupBy("cls")
+        .agg(F.sum("tp_flag").alias("tp"), F.count("*").alias("n_gt"))
+    )
+    pred_counts = df.groupBy(F.col(pred_col).alias("cls")).agg(F.count("*").alias("n_pred"))
+    j = per_class.join(pred_counts, "cls", "left").fillna(0, subset=["n_pred"])
+    f1 = (
+        j.select(
+            "cls",
+            (F.col("tp") / F.greatest(F.col("n_pred"), F.lit(1))).alias("p"),
+            (F.col("tp") / F.greatest(F.col("n_gt"), F.lit(1))).alias("r"),
+        )
+        .select(
+            "cls",
+            F.when(F.col("p") + F.col("r") > 0, 2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")))
+            .otherwise(F.lit(0.0))
+            .alias("f1"),
+        )
+    )
+    return f1.agg(F.round(F.avg("f1"), 6).alias("macro_f1"))

@@ -1,0 +1,93 @@
+"""Reading-order serialization operators.
+
+- xycut_order: deterministic (y, x) lexsort -> dense 0-based offset,
+  as a window over exploded region rows (the post_lgpma.py:394 lexsort
+  / DI reading-order analog). Array-side variant ``sort_spans_expr``
+  avoids the window shuffle when spans are already collected.
+- pointer_order_stage: the GCN-PN pointer-decode shape
+  (pointer_head.py:76-125): an inherently sequential per-doc greedy
+  argmax over "attention" scores. We model the learned scorer with a
+  deterministic proximity score (next box = nearest unvisited by
+  (dy, dx) cost from the current box) inside applyInPandas — same
+  operator shape, pluggable scorer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def xycut_order(df: DataFrame, doc_col: str = "doc_id", y_col: str = "y0", x_col: str = "x0") -> DataFrame:
+    """Window row_number per doc ordered by (y, x) -> 0-based offset."""
+    w = Window.partitionBy(doc_col).orderBy(F.col(y_col).asc(), F.col(x_col).asc())
+    return df.withColumn("offset", F.row_number().over(w) - 1)
+
+
+def sort_spans_expr(spans_unsorted_col):
+    """array<struct(y0,x0,...)> -> ordered spans with dense offsets,
+    pure JVM exprs (used by plans.extract)."""
+    return F.transform(
+        F.array_sort(spans_unsorted_col),
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
+_ORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("region_id", T.IntegerType()),
+        T.StructField("order_pred", T.IntegerType()),
+    ]
+)
+
+
+def pointer_order_py(boxes: np.ndarray) -> list[int]:
+    """Greedy pointer decode: start at the (y, x)-min box; repeatedly
+    pick the unvisited box with minimal (dy*2 + |dx|) cost — a
+    deterministic stand-in for the learned attention argmax, same
+    sequential structure."""
+    n = len(boxes)
+    if n == 0:
+        return []
+    ys, xs = boxes[:, 1], boxes[:, 0]
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    cur = int(np.lexsort((xs, ys))[0])
+    for step in range(n):
+        order[cur] = step
+        visited[cur] = True
+        if step == n - 1:
+            break
+        dy = ys - ys[cur]
+        dx = xs - xs[cur]
+        cost = np.where(dy >= 0, dy * 2 + np.abs(dx), 1e18) + np.where(visited, 1e18, 0.0)
+        cur = int(np.argmin(cost))
+    return order.tolist()
+
+
+def pointer_order_stage(df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """groupBy(doc).applyInPandas pointer decode. Input rows:
+    (doc_id, region_id, x0, y0); output adds order_pred."""
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        boxes = pdf[["x0", "y0"]].to_numpy(dtype=np.float64)
+        order = pointer_order_py(boxes)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[doc_col],
+                "region_id": pdf["region_id"].astype("int32"),
+                "order_pred": np.asarray(order, dtype="int32"),
+            }
+        )
+
+    return df.groupBy(doc_col).applyInPandas(decode, schema=_ORDER_SCHEMA)

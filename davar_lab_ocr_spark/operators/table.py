@@ -40,7 +40,7 @@ def derive_cells(cell_bboxes: list[list[float]]) -> list[list[int]]:
 
 def recover_table_html(cell_bboxes: list[list[float]], cell_texts: list[str]) -> str:
     """Full structure recovery: bboxes + texts -> final table html."""
-    if not cell_bboxes:
+    if cell_bboxes is None or len(cell_bboxes) == 0:
         return ""
     cells = derive_cells(cell_bboxes)
     cells_np = np.asarray(cells, dtype=np.int64)

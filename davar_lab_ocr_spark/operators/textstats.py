@@ -1,0 +1,100 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+All pure pyspark.sql expressions (JVM-side, codegen'd): tokenization,
+token counting, quality scoring, stopword-based language scoring,
+rolling-hash document fingerprinting. These extend the reference's
+text-normalization/filter semantics (davar_loading.py:226-240,
+davar_rcg_dataset.py:550-552) to the corpus-analytics operations a
+training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# a small deterministic English stopword list (public knowledge)
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "be", "this", "that", "from",
+]
+
+PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
+def normalize_text(col) -> F.Column:
+    """Case fold + strip punctuation (the davar text-normalization /
+    punctuation-filter semantics, davar_loading.py:763-830 +
+    davar_rcg_dataset.py:550-552)."""
+    return F.translate(F.lower(col), PUNCT, "")
+
+
+def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode text into (id, ord, tok); ord is the 1-based pre-filter
+    position so it is stable under empty-token removal."""
+    return (
+        df.select(id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+        .select(id_col, (F.col("pos") + 1).alias("ord"), "tok")
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counting: n_tokens, n_uniq, avg token length."""
+    toks = tokenize(df, text_col, id_col)
+    return toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_uniq"),
+        F.round(F.avg(F.length("tok")), 4).alias("avg_tok_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, punctuation ratio, stopword
+    ratio, mean word length — the corpus-filter signals."""
+    arr = F.split(F.col(text_col), " ")
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(F.translate(F.col(text_col), PUNCT, ""))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(arr, lambda t: F.array_contains(sw, F.lower(t))))
+    n_tok = F.size(F.filter(arr, lambda t: t != ""))
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_m"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            (n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)), 4
+        ).alias("avg_word_len"),
+        n_tok.alias("n_tokens"),
+    )
+
+
+def lang_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit-ratio language-ID score (n-gram-heuristic family):
+    fraction of tokens that are English stopwords; classify en if >= 5%."""
+    q = quality_score(df, text_col, id_col)
+    return q.select(
+        id_col,
+        F.col("stopword_ratio").alias("en_score"),
+        F.when(F.col("stopword_ratio") >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): the minimum
+    md5 over all k-char shingles of the normalized text. Equal texts ->
+    equal fingerprints; robust to token order only as far as shingles
+    overlap."""
+    norm = normalize_text(F.col(text_col))
+    n = F.length(norm)
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.md5(norm.substr(i, F.lit(k))),
+    )
+    return df.select(
+        id_col,
+        F.array_min(shingle_hashes).alias("fp"),
+    )
