@@ -1,0 +1,171 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures:
+1. flagship end-to-end span extraction (parquet scan -> explode ->
+   Arrow decode -> salted two-phase agg -> ordered spans -> parquet
+   sink) on a deterministic synthetic interleaved corpus, at full
+   parallelism AND at quarter parallelism — the N vs 4N scaling
+   evidence required by BASELINE.json (no real cluster in sandbox);
+2. the headline analytics queries from __spark_entry__ at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "docs_per_sec": ...,
+         "scaling": {"n_cores": ..., "throughput_n": ...,
+                     "throughput_4n": ..., "efficiency": ...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+WORK_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_bench_data")
+
+HEADLINE = [
+    "pricing_summary",
+    "region_revenue",
+    "top_orders_per_customer",
+    "tokenize_spans",
+    "token_stats",
+    "quality_score",
+    "exact_dedup",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "doc_fingerprint",
+    "embedding_topk",
+    "ann_lsh",
+    "iou_match_join",
+    "sessionize",
+    "ap_sweep",
+    "char_voting",
+]
+
+
+def _new_spark(parallelism: int):
+    from davar_lab_ocr_spark.session import get_spark
+
+    return get_spark(
+        f"bench-{parallelism}",
+        parallelism=parallelism,
+        # fine input splits: many small corpus files -> multiple task
+        # waves per core, so stragglers amortize at full parallelism
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
+
+
+def _ensure_corpus(spark, path: str, n_docs: int) -> None:
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return
+    from davar_lab_ocr_spark.corpus import distributed_raw_df
+
+    distributed_raw_df(spark, n_docs, seed=7, partitions=max(CPUS * 8, 64)).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _time_extract(spark, corpus_path: str, out_path: str, repeats: int = 2) -> float:
+    """Steady-state extraction time: an unmeasured warm-up pass over a
+    slice of the real corpus (spawns the python worker pool, loads
+    numpy/pandas in workers, lets the JVM JIT the codegen'd loops),
+    then min over ``repeats`` full runs — the throughput a
+    long-running 100TB job would see. min (not mean) because the
+    sandbox host is a noisy shared VM; the fastest run is the least
+    contended estimate at each parallelism level."""
+    from davar_lab_ocr_spark.plans.extract import extract
+
+    raw = spark.read.parquet(corpus_path)
+    extract(raw.limit(max(BENCH_DOCS // 8, 1000))).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        extract(raw).write.mode("overwrite").parquet(out_path)
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    os.makedirs(WORK_DIR, exist_ok=True)
+    corpus_path = os.path.join(WORK_DIR, f"corpus_{BENCH_DOCS}")
+    out_path = os.path.join(WORK_DIR, "extract_out")
+
+    timings: dict[str, float] = {}
+
+    # --- one-time corpus materialization at full parallelism --------------
+    spark = _new_spark(CPUS)
+    _ensure_corpus(spark, corpus_path, BENCH_DOCS)
+    spark.stop()
+
+    # --- scaling pairs: alternate N / 4N rounds (cold JVM each) so host
+    #     drift biases neither level; min per level across rounds ----------
+    n_small = max(CPUS // 4, 1)
+    t_small = float("inf")
+    t_big = float("inf")
+    for _round in range(2):
+        spark = _new_spark(n_small)
+        t_small = min(t_small, _time_extract(spark, corpus_path, out_path + "_n"))
+        spark.stop()
+        spark = _new_spark(CPUS)
+        t_big = min(t_big, _time_extract(spark, corpus_path, out_path))
+        spark.stop()
+
+    spark = _new_spark(CPUS)
+    timings["extract_full"] = round(t_big, 3)
+
+    thr_n = BENCH_DOCS / t_small
+    thr_4n = BENCH_DOCS / t_big
+    efficiency = (thr_4n / thr_n) / (CPUS / n_small)
+
+    # --- headline analytics queries at full parallelism -------------------
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        # noop sink: forces full computation of every column, no IO,
+        # and none of count()'s projection pruning
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    shutil.rmtree(out_path + "_n", ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "e2e span extraction + analytics suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs_per_sec": round(thr_4n, 1),
+        "bench_docs": BENCH_DOCS,
+        "scaling": {
+            "cores_n": n_small,
+            "cores_4n": CPUS,
+            "throughput_n_docs_per_sec": round(thr_n, 1),
+            "throughput_4n_docs_per_sec": round(thr_4n, 1),
+            "efficiency": round(efficiency, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -143,96 +143,122 @@ def _make_table(rng: np.random.Generator):
     return bboxes, texts, html
 
 
+def gen_doc(d: int, seed: int, giant_every: int, giant_size: int) -> tuple[dict, dict]:
+    """Generate one document (raw_row, expected_row). Pure function of
+    (seed, d) — the same doc is produced on any executor, which is what
+    makes distributed generation and the oracle agree."""
+    rng = np.random.default_rng(seed * 1_000_003 + d)
+    doc_id = f"doc-{seed}-{d:07d}"
+    if giant_every and d % giant_every == giant_every - 1:
+        n_regions = giant_size + int(rng.integers(0, giant_size // 3 + 1))
+    else:
+        n_regions = int(rng.integers(1, 24))
+    n_grid_rows = (n_regions + _NCOLS - 1) // _NCOLS
+    width = int(_X0 * 2 + _NCOLS * _XSTEP)
+    height = int(max(200, _Y0 * 2 + n_grid_rows * _YSTEP))
+
+    regions, expected = [], []
+    for i in range(n_regions):
+        gr, gc = i // _NCOLS, i % _NCOLS
+        x0 = _X0 + gc * _XSTEP
+        y0 = _Y0 + gr * _YSTEP
+        bbox = [x0, y0, x0 + _XW, y0 + _YH]
+        care = 0 if rng.random() < 0.07 else 1
+
+        kind = KINDS[int(rng.choice(len(KINDS), p=_KIND_P))]
+        # giant docs: keep heavy table regions out of the tail
+        if n_regions > 100 and kind == "table":
+            kind = "text"
+        scores = (rng.random(len(KINDS)) * 0.3).tolist()
+        scores[KINDS.index(kind)] = 0.6 + float(rng.random()) * 0.4
+
+        media_ref = ""
+        pred_ids: list[int] = []
+        mode = "ctc"
+        cell_bboxes = None
+        cell_texts = None
+        text_expected = ""
+
+        if kind == "figure":
+            mode = "media"
+            media_ref = f"media://{doc_id}/{i}.png"
+        elif kind == "table":
+            mode = "table"
+            cell_bboxes, cell_texts, text_expected = _make_table(rng)
+        else:
+            word = _word(rng)
+            if rng.random() < 0.5:
+                mode = "ctc"
+                pred_ids = TXT.ctc_encode_with_noise(word, rng)
+            else:
+                mode = "attn"
+                pred_ids = TXT.attn_encode(word, rng)
+            text_expected = word
+
+        regions.append(
+            {
+                "bbox": bbox,
+                "kind_scores": scores,
+                "pred_ids": [int(p) for p in pred_ids],
+                "mode": mode,
+                "care": care,
+                "media_ref": media_ref,
+                "cell_bboxes": cell_bboxes,
+                "cell_texts": cell_texts,
+            }
+        )
+        if care:
+            expected.append((y0, x0, kind, text_expected, media_ref))
+
+    # shuffle raw region order: the engine must sort, not rely on input order
+    perm = rng.permutation(len(regions))
+    regions = [regions[j] for j in perm]
+
+    expected.sort(key=lambda t: (t[0], t[1]))
+    spans = [
+        {"kind": k, "text": t, "media_ref": m, "offset": off}
+        for off, (_y, _x, k, t, m) in enumerate(expected)
+    ]
+    raw_row = {"doc_id": doc_id, "width": width, "height": height, "regions": regions}
+    return raw_row, {"doc_id": doc_id, "spans": spans}
+
+
 def make_raw_corpus(
     n_docs: int,
     seed: int = 7,
     giant_every: int = 97,
     giant_size: int = 600,
 ) -> tuple[list[dict], list[dict]]:
-    """Build (raw_rows, expected_rows).
+    """Driver-side generation (tests / small corpora): build
+    (raw_rows, expected_rows) per schemas.RAW_DOCUMENTS / DOCUMENTS."""
+    pairs = [gen_doc(d, seed, giant_every, giant_size) for d in range(n_docs)]
+    return [p[0] for p in pairs], [p[1] for p in pairs]
 
-    raw_rows match schemas.RAW_DOCUMENTS; expected_rows match
-    schemas.DOCUMENTS (the oracle output the pipeline must reproduce).
-    """
-    raw_rows, expected_rows = [], []
-    for d in range(n_docs):
-        rng = np.random.default_rng(seed * 1_000_003 + d)
-        doc_id = f"doc-{seed}-{d:07d}"
-        if giant_every and d % giant_every == giant_every - 1:
-            n_regions = giant_size + int(rng.integers(0, giant_size // 3 + 1))
-        else:
-            n_regions = int(rng.integers(1, 24))
-        n_grid_rows = (n_regions + _NCOLS - 1) // _NCOLS
-        width = int(_X0 * 2 + _NCOLS * _XSTEP)
-        height = int(max(200, _Y0 * 2 + n_grid_rows * _YSTEP))
 
-        regions, expected = [], []
-        for i in range(n_regions):
-            gr, gc = i // _NCOLS, i % _NCOLS
-            x0 = _X0 + gc * _XSTEP
-            y0 = _Y0 + gr * _YSTEP
-            bbox = [x0, y0, x0 + _XW, y0 + _YH]
-            care = 0 if rng.random() < 0.07 else 1
+def distributed_raw_df(
+    spark,
+    n_docs: int,
+    seed: int = 7,
+    giant_every: int = 97,
+    giant_size: int = 600,
+    partitions: int | None = None,
+):
+    """Scale-out generation: spark.range over doc indices, per-doc RNG
+    seeded by (seed, index) so output is independent of partitioning —
+    the honest 10^12-doc path (no driver materialization)."""
+    import pandas as pd
 
-            kind = KINDS[int(rng.choice(len(KINDS), p=_KIND_P))]
-            # giant docs: keep heavy table regions out of the tail
-            if n_regions > 100 and kind == "table":
-                kind = "text"
-            scores = (rng.random(len(KINDS)) * 0.3).tolist()
-            scores[KINDS.index(kind)] = 0.6 + float(rng.random()) * 0.4
+    from .schemas import RAW_DOCUMENTS
 
-            media_ref = ""
-            pred_ids: list[int] = []
-            mode = "ctc"
-            cell_bboxes = None
-            cell_texts = None
-            text_expected = ""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    idx = spark.range(0, n_docs, 1, parts)
 
-            if kind == "figure":
-                mode = "media"
-                media_ref = f"media://{doc_id}/{i}.png"
-            elif kind == "table":
-                mode = "table"
-                cell_bboxes, cell_texts, text_expected = _make_table(rng)
-            else:
-                word = _word(rng)
-                if rng.random() < 0.5:
-                    mode = "ctc"
-                    pred_ids = TXT.ctc_encode_with_noise(word, rng)
-                else:
-                    mode = "attn"
-                    pred_ids = TXT.attn_encode(word, rng)
-                text_expected = word
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_doc(int(d), seed, giant_every, giant_size)[0] for d in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "regions"])
 
-            regions.append(
-                {
-                    "bbox": bbox,
-                    "kind_scores": scores,
-                    "pred_ids": [int(p) for p in pred_ids],
-                    "mode": mode,
-                    "care": care,
-                    "media_ref": media_ref,
-                    "cell_bboxes": cell_bboxes,
-                    "cell_texts": cell_texts,
-                }
-            )
-            if care:
-                expected.append((y0, x0, kind, text_expected, media_ref))
-
-        # shuffle raw region order: the engine must sort, not rely on input order
-        perm = rng.permutation(len(regions))
-        regions = [regions[j] for j in perm]
-
-        expected.sort(key=lambda t: (t[0], t[1]))
-        spans = [
-            {"kind": k, "text": t, "media_ref": m, "offset": off}
-            for off, (_y, _x, k, t, m) in enumerate(expected)
-        ]
-        raw_rows.append(
-            {"doc_id": doc_id, "width": width, "height": height, "regions": regions}
-        )
-        expected_rows.append({"doc_id": doc_id, "spans": spans})
-    return raw_rows, expected_rows
+    return idx.mapInPandas(gen, schema=RAW_DOCUMENTS)
 
 
 def raw_df(spark, rows):

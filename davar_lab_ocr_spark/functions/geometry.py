@@ -206,10 +206,15 @@ def bbox2adj(bboxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         # midpoint containment: mid[j] strictly inside (lo[i], hi[i])
         contain = (lo[None, :] < mid[:, None]) & (mid[:, None] < hi[None, :])
         adj = contain | contain.T
-        # special relationship: overlap beyond tolerance with a witness midpoint
+        # special relationship: overlap beyond tolerance with a witness
+        # midpoint. Fast path: in aligned grids every overlapping pair
+        # is already midpoint-adjacent, so the O(n^3) witness check is
+        # only evaluated when some non-adjacent pair overlaps.
+        overlap = ~((lo[None, :] + tol >= hi[:, None]) | (lo[:, None] + tol >= hi[None, :]))
+        if not (overlap & ~adj).any():
+            return adj.astype(np.int64)
         olo = np.maximum(lo[:, None], lo[None, :])
         ohi = np.minimum(hi[:, None], hi[None, :])
-        overlap = ~((lo[None, :] + tol >= hi[:, None]) | (lo[:, None] + tol >= hi[None, :]))
         witness = (olo[:, :, None] < mid[None, None, :]) & (mid[None, None, :] < ohi[:, :, None])
         special = overlap & witness.any(axis=2)
         return (adj | special | special.T).astype(np.int64)
@@ -250,29 +255,34 @@ def adj_to_cell(adj: np.ndarray, bboxes: np.ndarray, mod: str) -> list[np.ndarra
     assert mod in ("row", "col")
     b = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
     n = adj.shape[0]
-    adj_sets = [set(np.flatnonzero(adj[i]).tolist()) - {i} for i in range(n)]
+    # python-level set bookkeeping: for the typical table (n <= a few
+    # hundred) this is ~5x faster than per-node numpy calls
+    nz_r, nz_c = np.nonzero(adj)
+    adj_sets: list[set] = [set() for _ in range(n)]
+    for i, j in zip(nz_r.tolist(), nz_c.tolist()):
+        if i != j:
+            adj_sets[i].add(j)
     cliques = _bron_kerbosch(adj_sets, n)
 
-    times = np.zeros(n)
+    times = [0] * n
     for clique in cliques:
         for node in clique:
             times[node] += 1
+    lo = b[:, 1] if mod == "row" else b[:, 0]
+    hi = b[:, 3] if mod == "row" else b[:, 2]
+    mids = (lo + hi).tolist()
     keys = []
     for clique in cliques:
         nospan = [v for v in clique if times[v] == 1]
         select = nospan if nospan else clique
-        if mod == "row":
-            key = (b[select, 1] + b[select, 3]).mean()
-        else:
-            key = (b[select, 0] + b[select, 2]).mean()
-        keys.append(int(key))
-    order = np.argsort(np.asarray(keys), kind="stable")
+        keys.append(int(sum(mids[v] for v in select) / len(select)))
+    order = sorted(range(len(keys)), key=keys.__getitem__)
 
-    listcell: list[np.ndarray] = [np.array([], dtype=np.int64) for _ in range(n)]
+    acc: list[list[int]] = [[] for _ in range(n)]
     for rank, clique_idx in enumerate(order):
         for node in cliques[clique_idx]:
-            listcell[node] = np.append(listcell[node], rank)
-    return listcell
+            acc[node].append(rank)
+    return [np.asarray(a, dtype=np.int64) for a in acc]
 
 
 # --------------------------------------------------------------------------

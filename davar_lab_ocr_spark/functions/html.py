@@ -90,7 +90,13 @@ def format_html(html_struct: list, text_tokens: list) -> str:
     code = list(html_struct)
     slots = [i for i, tok in enumerate(code) if tok in ("<td>", ">")]
     for i, cell in zip(slots[::-1], text_tokens[::-1]):
-        if cell["tokens"]:
-            parts = [escape(tok) if len(tok) == 1 else tok for tok in cell["tokens"]]
-            code.insert(i + 1, "".join(parts))
+        toks = cell["tokens"]
+        if toks:
+            if isinstance(toks, str):
+                # a plain-string cell is a sequence of 1-char tokens:
+                # escaping each char == escaping the whole string
+                code.insert(i + 1, escape(toks))
+            else:
+                parts = [escape(tok) if len(tok) == 1 else tok for tok in toks]
+                code.insert(i + 1, "".join(parts))
     return "<html><body><table>%s</table></body></html>" % "".join(code)

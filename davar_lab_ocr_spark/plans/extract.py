@@ -15,19 +15,35 @@ single_gpu_test -> post_processing -> evaluate):
   3. layout classify      — kind = KINDS[argmax(kind_scores)], pure
                             JVM exprs (array_position/array_max), the
                             VSR-decode analog (vsr.py:420-437)
-  4. decode               — mapInPandas Arrow batches: vectorized CTC /
-                            attention decode; per-table LGPMA recovery
-  5. partial agg          — groupBy(doc_id, salt).collect_list(span)
-                            bounds any single reducer's work on giant
-                            (10^4-region) documents
-  6. final agg + order    — groupBy(doc_id): flatten partials,
-                            array_sort by (y0, x0) — the xy-cut
+  4. decode               — CTC / attention decode as JVM higher-order
+                            array exprs (decode_sql.py, stays in
+                            whole-stage codegen); table regions only
+                            route through an Arrow batch UDF (LGPMA
+                            chain), then unionByName
+  5. re-assembly          — groupBy(doc_id).collect_list(span): ONE
+                            shuffle (default). Skew analysis: for a
+                            collect_list re-assembly the final merge
+                            task must hold a whole document's spans
+                            regardless, so salted two-phase agg cannot
+                            reduce per-reducer volume — it only doubles
+                            shuffle bytes (measured ~1.5x slower).
+                            Salting pays off for REDUCIBLE aggregates
+                            (sums/counts/sketches — see the map-side
+                            partial aggs in dedup/metrics). Reducer
+                            hot-spotting from many docs hashing to one
+                            partition is handled by AQE partition
+                            splitting. The salted two-phase path is
+                            kept behind salt_buckets>1 for corpora with
+                            pathological per-doc span counts where the
+                            partial arrays relieve executor memory
+                            pressure during the map phase.
+  6. order + offsets      — array_sort by (y0, x0) — the xy-cut
                             reading-order serialization (lexsort
                             analog, post_lgpma.py:394) — then
                             transform to attach dense offsets
 
-Exactly two wide operations after the scan (the two groupBys); all
-expressions JVM-side except the batched decode kernel.
+One wide operation after the scan (the groupBy); all expressions
+JVM-side except the per-table Arrow kernel.
 """
 
 from __future__ import annotations
@@ -36,9 +52,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..corpus import KINDS
-from ..operators.decode import decode_stage
 
-DEFAULT_SALT_BUCKETS = 16
+
+DEFAULT_SALT_BUCKETS = 1  # single-shuffle re-assembly; >1 enables two-phase
 
 
 def filter_documents(raw: DataFrame) -> DataFrame:
@@ -59,7 +75,16 @@ def classify_kind(col_scores) -> F.Column:
 
 
 def extract(raw: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
-    """Run the full extraction pipeline."""
+    """Run the full extraction pipeline.
+
+    Text/media regions decode entirely JVM-side (higher-order array
+    exprs, operators/decode_sql.py) — the hot path never leaves
+    whole-stage codegen. Only table regions (rare, genuinely numpy:
+    clique solving + html assembly) route through the Arrow batch UDF.
+    """
+    from ..operators.decode_sql import text_decode_col
+    from ..operators.table import lgpma_stage
+
     exploded = (
         filter_documents(raw)
         .select("doc_id", F.posexplode("regions").alias("pos", "r"))
@@ -78,7 +103,23 @@ def extract(raw: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFra
         )
     )
 
-    decoded = decode_stage(exploded)
+    text_media = exploded.filter(F.col("mode") != "table").select(
+        "doc_id",
+        "salt",
+        "y0",
+        "x0",
+        "kind",
+        text_decode_col(F.col("mode"), F.col("pred_ids")).alias("text"),
+        "media_ref",
+    )
+    tables = lgpma_stage(
+        exploded.filter(F.col("mode") == "table").select(
+            "doc_id", "salt", "y0", "x0", "kind", "media_ref", "cell_bboxes", "cell_texts"
+        ),
+        out_col="text",
+    ).select("doc_id", "salt", "y0", "x0", "kind", "text", "media_ref")
+
+    decoded = text_media.unionByName(tables)
 
     keyed = decoded.select(
         "doc_id",
@@ -86,13 +127,19 @@ def extract(raw: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFra
         F.struct("y0", "x0", "kind", "text", "media_ref").alias("span_k"),
     )
 
-    # two-phase skew-safe aggregation: partial per (doc_id, salt), then merge
-    partial = keyed.groupBy("doc_id", "salt").agg(
-        F.collect_list("span_k").alias("part")
-    )
-    merged = partial.groupBy("doc_id").agg(
-        F.flatten(F.collect_list("part")).alias("spans_unsorted")
-    )
+    if salt_buckets > 1:
+        # two-phase: partial per (doc_id, salt), then merge (see module
+        # docstring for when this pays off)
+        partial = keyed.groupBy("doc_id", "salt").agg(
+            F.collect_list("span_k").alias("part")
+        )
+        merged = partial.groupBy("doc_id").agg(
+            F.flatten(F.collect_list("part")).alias("spans_unsorted")
+        )
+    else:
+        merged = keyed.groupBy("doc_id").agg(
+            F.collect_list("span_k").alias("spans_unsorted")
+        )
 
     # xy-cut reading order: array_sort over struct(y0, x0, ...) sorts
     # lexicographically by field order; offsets attached positionally

@@ -168,3 +168,36 @@ def test_recon_largecell_aligns():
     out = recon_largecell(bboxes, cells)
     assert out[0] == [10, 8, 50, 30]  # left col min x0=10, row 0 min y0=8
     assert out[3] == [60, 40, 100, 62]
+
+
+def test_fast_path_matches_clique_path():
+    """_derive_cells_fast must agree with the full bbox2adj+clique path
+    on every aligned-grid table it accepts."""
+    import numpy as np
+
+    from davar_lab_ocr_spark.corpus import _make_table
+    from davar_lab_ocr_spark.operators.table import _derive_cells_fast
+
+    taken = 0
+    for i in range(150):
+        bb, _tt, _html = _make_table(np.random.default_rng(1000 + i))
+        rounded = [[round(v) for v in b] for b in bb]
+        fast = _derive_cells_fast(rounded)
+        boxes = np.array(rounded, dtype=float)
+        adjr, adjc = bbox2adj(boxes)
+        slow = [
+            [int(r.min()), int(c.min()), int(r.max()), int(c.max())]
+            for r, c in zip(adj_to_cell(adjr, boxes, "row"), adj_to_cell(adjc, boxes, "col"))
+        ]
+        if fast is not None:
+            taken += 1
+            assert fast == slow
+    assert taken > 100  # the generator's tables are aligned grids
+
+
+def test_fast_path_rejects_nongrid():
+    from davar_lab_ocr_spark.operators.table import _derive_cells_fast
+
+    # overlapping y intervals -> must fall back
+    assert _derive_cells_fast([[0, 0, 10, 20], [0, 15, 10, 40]]) is None
+    assert _derive_cells_fast([]) is None
