@@ -478,6 +478,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["det_hmean_fixture"] = det_hmean_fixture
 
+    def east_decode(spark, sf):
+        from davar_lab_ocr_spark.operators.detection import (
+            east_decode_stage,
+            make_east_fixture,
+        )
+        from davar_lab_ocr_spark.schemas import DET_MAPS
+
+        rows = [
+            make_east_fixture(d, mode="RBOX" if d % 2 else "QUAD")[0] for d in range(40)
+        ]
+        out = east_decode_stage(spark.createDataFrame(rows, schema=DET_MAPS))
+        return out.select(
+            "doc_id",
+            F.posexplode("quads").alias("det_id", "q"),
+        ).select("doc_id", "det_id", F.col("q.points"), F.round("q.conf", 4).alias("conf"))
+
+    q["east_decode"] = east_decode
+
     def pointer_reading_order(spark, sf):
         from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
         from davar_lab_ocr_spark.operators.ordering import pointer_order_stage

@@ -112,8 +112,8 @@ def _clip_polygon(subject: np.ndarray, cx0, cy0, cx1, cy1) -> np.ndarray:
         dx, dy = q[0] - p[0], q[1] - p[1]
         denom = ex * dy - ey * dx
         if denom == 0:
-            return q
-        t = (ex * (cy0 - p[1]) - ey * (cx0 - p[0])) / -denom
+            return (q[0], q[1])
+        t = (ey * (p[0] - cx0) - ex * (p[1] - cy0)) / denom
         return (p[0] + t * dx, p[1] + t * dy)
 
     for i in range(n):
