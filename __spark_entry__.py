@@ -478,6 +478,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["det_hmean_fixture"] = det_hmean_fixture
 
+    def track_merge(spark, sf):
+        from davar_lab_ocr_spark.operators.video import (
+            make_track_fixture,
+            track_merge_stage,
+        )
+        from davar_lab_ocr_spark.schemas import TRACK_EVENTS
+
+        rows, _ = make_track_fixture(20, seed=41)
+        merged = track_merge_stage(spark.createDataFrame(rows, schema=TRACK_EVENTS))
+        return merged.select(
+            "video_id", "merged_id", "frame_start", "frame_end", "text",
+            F.round("score", 6).alias("score"), "n_tracks",
+        )
+
+    q["track_merge"] = track_merge
+
+    def session_tracks(spark, sf):
+        from davar_lab_ocr_spark.operators.video import make_track_fixture
+        from davar_lab_ocr_spark.schemas import TRACK_EVENTS
+        from davar_lab_ocr_spark.streaming.tracks import sessionized_tracks
+
+        rows, _ = make_track_fixture(15, seed=47)
+        df = spark.createDataFrame(rows, schema=TRACK_EVENTS).withColumn(
+            "frame_ts", F.timestamp_seconds(F.col("frame_id"))
+        )
+        return sessionized_tracks(df, gap_seconds=3).drop("session_start")
+
+    q["session_tracks"] = session_tracks
+
+    def media_decode(spark, sf):
+        from davar_lab_ocr_spark.operators.multimodal import (
+            decode_media_stage,
+            fetch_media_stage,
+            resize_meta_cols,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        refs = d.select(
+            F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
+                "media_ref"
+            )
+        )
+        decoded = decode_media_stage(fetch_media_stage(refs)).drop("payload")
+        return decoded.select(
+            "media_ref",
+            "m_height",
+            "m_width",
+            "m_channels",
+            *resize_meta_cols(F.col("m_height"), F.col("m_width")),
+        )
+
+    q["media_decode"] = media_decode
+
+    def resumable_extract(spark, sf):
+        import tempfile
+
+        from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
+        from davar_lab_ocr_spark.plans.resume import SnapshotSink, run_resumable_extract
+
+        raw_rows, _ = make_raw_corpus(60, seed=19, giant_every=0)
+        full = raw_df(spark, raw_rows)
+        out = tempfile.mkdtemp(prefix="resume_q_")
+        half = full.filter(F.col("doc_id") < "doc-19-0000030")
+        run_resumable_extract(spark, half, out, batch_id="b1")
+        run_resumable_extract(spark, full, out, batch_id="b2")
+        return SnapshotSink(out).read(spark)
+
+    q["resumable_extract"] = resumable_extract
+
     def east_decode(spark, sf):
         from davar_lab_ocr_spark.operators.detection import (
             east_decode_stage,

@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns (or ``media_ref`` pointers)
+with typed metadata, mirroring the reference's image source
+(DavarLoadImageFromFile, davar_loading.py:26-88) and crop/transform
+utils (loading_utils.py:105-200). The image/audio codecs are NOT in
+this container, so the decode step is stubbed behind a deterministic
+fake (or NotImplementedError in strict mode) — the Spark-side
+contract (schema, batch shape, partitioning, UDF signature) is real
+and tested:
+
+- fetch_media:    media_ref -> binary payload (deterministic fake
+                  fetcher; at scale this is the object-store read
+                  inside the Arrow batch, never driver-side)
+- decode_media:   binary -> (height, width, n_channels) metadata +
+                  optional feature vector; one mapInArrow pass,
+                  batched like the reference's collate
+- resize_meta:    keep-ratio resize arithmetic (DavarResize
+                  semantics, transforms.py:24-146): computes the
+                  output shape + scale_factor column the detection
+                  decoders divide by (post_east.py:141-146)
+- frame_sample:   pick every k-th frame index from a video span
+                  (pure SQL sequence/filter)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+STRICT = False  # True -> decode raises NotImplementedError (no codecs here)
+
+
+def fake_payload(media_ref: str) -> bytes:
+    """Deterministic stand-in for an object-store fetch: 64 pseudo-random
+    bytes seeded by the ref, prefixed with a fake 8-byte header carrying
+    (h, w, c) so decode_media has something real to parse."""
+    digest = hashlib.md5(media_ref.encode()).digest()
+    h = 32 + digest[0] % 96
+    w = 32 + digest[1] % 96
+    c = 1 + digest[2] % 3
+    header = bytes([h, w, c]) + b"\x00" * 5
+    rng = np.random.default_rng(int.from_bytes(digest[:4], "little"))
+    return header + rng.integers(0, 256, size=61, dtype=np.uint8).tobytes()
+
+
+def fetch_media_stage(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """media_ref -> payload binary column (Arrow-batched)."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("payload", T.BinaryType())])
+
+    def run(batches):
+        for batch in batches:
+            refs = batch.column(ref_col).to_pylist()
+            payloads = [fake_payload(r) if r else None for r in refs]
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(payloads, type=pa.binary())],
+                names=list(batch.schema.names) + ["payload"],
+            )
+
+    return df.mapInArrow(run, schema=out_schema)
+
+
+def decode_media_stage(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """binary payload -> (height, width, n_channels) metadata. The real
+    image decode would live exactly here (one cv2/PIL call per element
+    of the Arrow batch); STRICT mode raises to mark the boundary."""
+    meta_fields = [
+        T.StructField("m_height", T.IntegerType()),
+        T.StructField("m_width", T.IntegerType()),
+        T.StructField("m_channels", T.IntegerType()),
+    ]
+    out_schema = T.StructType(df.schema.fields + meta_fields)
+
+    def run(batches):
+        if STRICT:
+            raise NotImplementedError("image codecs unavailable in this environment")
+        for batch in batches:
+            payloads = batch.column(payload_col).to_pylist()
+            hs, ws, cs = [], [], []
+            for p in payloads:
+                if p is None or len(p) < 3:
+                    hs.append(None), ws.append(None), cs.append(None)
+                else:
+                    hs.append(p[0]), ws.append(p[1]), cs.append(p[2])
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            yield pa.RecordBatch.from_arrays(
+                arrays
+                + [
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(cs, type=pa.int32()),
+                ],
+                names=list(batch.schema.names) + ["m_height", "m_width", "m_channels"],
+            )
+
+    return df.mapInArrow(run, schema=out_schema)
+
+
+def resize_meta_cols(h_col, w_col, long_side: int = 1280, short_side: int = 720):
+    """DavarResize keep-ratio arithmetic as pure SQL exprs: scale =
+    min(long/max(h,w), short/min(h,w)); out dims rounded; the
+    scale_factor column is what decode divides by."""
+    long_in = F.greatest(h_col, w_col).cast("double")
+    short_in = F.least(h_col, w_col).cast("double")
+    scale = F.least(F.lit(float(long_side)) / long_in, F.lit(float(short_side)) / short_in)
+    return [
+        F.round(h_col * scale).cast("int").alias("resized_h"),
+        F.round(w_col * scale).cast("int").alias("resized_w"),
+        F.round(scale, 8).alias("scale_factor"),
+    ]
+
+
+def frame_sample_col(n_frames_col, every_k: int = 5):
+    """Every k-th frame index (video sampling), pure SQL."""
+    return F.filter(
+        F.sequence(F.lit(0), n_frames_col - 1),
+        lambda i: i % every_k == 0,
+    )

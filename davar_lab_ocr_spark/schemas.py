@@ -117,13 +117,12 @@ EVAL_PAIRS = T.StructType(
     ]
 )
 
-# --- video track fixture (FIXTURES.md F8) ----------------------------------
+# --- video track fixture (FIXTURES.md F8): one row per (track, frame) ------
 TRACK_EVENTS = T.StructType(
     [
         T.StructField("video_id", T.StringType(), False),
         T.StructField("track_id", T.IntegerType(), False),
-        T.StructField("frame_start", T.IntegerType(), False),
-        T.StructField("frame_end", T.IntegerType(), False),
+        T.StructField("frame_id", T.IntegerType(), False),
         T.StructField("bbox", T.ArrayType(T.DoubleType(), False), False),
         T.StructField("text", T.StringType(), False),
         T.StructField("score", T.DoubleType(), False),

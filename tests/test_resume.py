@@ -1,0 +1,68 @@
+"""Snapshot commit / resume / lineage tests (north-rule ops story)."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from davar_lab_ocr_spark.corpus import expected_df, make_raw_corpus, raw_df
+from davar_lab_ocr_spark.plans.resume import SnapshotSink, run_resumable_extract
+
+
+def _spans_map(df):
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in df.collect()
+    }
+
+
+def test_resume_after_partial_commit(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    raw_rows, expected_rows = make_raw_corpus(60, seed=21, giant_every=0)
+    full = raw_df(spark, raw_rows)
+
+    # batch 1: first 25 docs committed
+    first = full.filter(F.col("doc_id") < "doc-21-0000025")
+    m1 = run_resumable_extract(spark, first, out, batch_id="b1")
+    assert m1["n_docs"] > 0
+
+    # simulate a CRASHED batch: data dir written, NO manifest
+    crashed_dir = os.path.join(out, "batch=crashed")
+    first.limit(3).write.mode("overwrite").parquet(crashed_dir)
+
+    # batch 2 over the FULL input: must process only the remainder
+    m2 = run_resumable_extract(spark, full, out, batch_id="b2")
+    assert m1["n_docs"] + m2["n_docs"] == 60
+
+    sink = SnapshotSink(out)
+    got = _spans_map(sink.read(spark))
+    want = _spans_map(expected_df(spark, expected_rows))
+    assert got == want  # crashed partial output invisible, no dups, no gaps
+
+
+def test_rerun_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "sink2")
+    raw_rows, _ = make_raw_corpus(20, seed=22, giant_every=0)
+    full = raw_df(spark, raw_rows)
+    run_resumable_extract(spark, full, out, batch_id="a")
+    m = run_resumable_extract(spark, full, out, batch_id="b")
+    assert m["n_docs"] == 0  # nothing left to do
+    sink = SnapshotSink(out)
+    assert sink.read(spark).count() == 20
+
+
+def test_lineage_counters(spark, tmp_path):
+    out = str(tmp_path / "sink3")
+    raw_rows, expected_rows = make_raw_corpus(30, seed=23, giant_every=0)
+    run_resumable_extract(spark, raw_df(spark, raw_rows), out, batch_id="x")
+    sink = SnapshotSink(out)
+    manifest = sink.committed_batches()[0]
+    lineage = spark.read.parquet(manifest["lineage_path"])
+    rows = lineage.collect()
+    assert sum(r["n_docs"] for r in rows) == manifest["n_docs"]
+    assert sum(r["n_spans"] for r in rows) == manifest["n_spans"]
+    total_spans = sum(len(e["spans"]) for e in expected_rows)
+    assert manifest["n_spans"] == total_spans
+    # manifest is valid json on disk
+    with open(os.path.join(out, "_manifests", "x.json")) as fh:
+        assert json.load(fh)["batch_id"] == "x"
