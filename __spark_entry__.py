@@ -449,6 +449,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_correct"] = vocab_correct
 
+    def poly_rect(spark, sf):
+        from davar_lab_ocr_spark.operators.filters import poly_to_rect_cols
+
+        p = _t(spark, sf, "part")
+        k = F.col("p_partkey")
+        poly = F.array(
+            ((k * 3) % 50).cast("double"),
+            ((k * 7) % 60).cast("double"),
+            ((k * 3) % 50 + 20).cast("double"),
+            ((k * 7) % 60 + 5).cast("double"),
+            ((k * 3) % 50 + 10).cast("double"),
+            ((k * 7) % 60 + 30).cast("double"),
+        )
+        return p.select(F.col("p_partkey"), poly.alias("poly")).select(
+            "p_partkey", *poly_to_rect_cols(F.col("poly"))
+        )
+
+    q["poly_rect"] = poly_rect
+
     # --- rows-only (non-SQL-expressible; pytest goldens in tests/) -----
     def flagship_extract(spark, sf):
         return entry(spark)
@@ -564,6 +583,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "det_id", F.col("q.points"), F.round("q.conf", 4).alias("conf"))
 
     q["east_decode"] = east_decode
+
+    def teds_metric(spark, sf):
+        from davar_lab_ocr_spark.corpus import make_raw_corpus
+        from davar_lab_ocr_spark.operators.metrics import teds_stage
+
+        raw_rows, expected_rows = make_raw_corpus(60, seed=37, giant_every=0)
+        pairs = []
+        for exp in expected_rows:
+            for s in exp["spans"]:
+                if s["kind"] == "table":
+                    html = s["text"]
+                    # perturb every 3rd table's html (drop last cell text)
+                    pred = html if len(pairs) % 3 else html.replace("</td></tr></tbody>", "x</td></tr></tbody>")
+                    pairs.append((f"{exp['doc_id']}#{s['offset']}", pred, html))
+        df = spark.createDataFrame(pairs, "doc_id string, pred_html string, gt_html string")
+        return teds_stage(df).select("doc_id", F.round("teds", 6).alias("teds"))
+
+    q["teds_metric"] = teds_metric
+
+    def tree_f1_metric(spark, sf):
+        import numpy as np
+
+        from davar_lab_ocr_spark.operators.metrics import tree_f1_stage
+
+        rng = np.random.default_rng(53)
+        rows = []
+        for t in range(40):
+            n = int(rng.integers(4, 9))
+            edges = [{"src": 0, "dst": 1, "rel": 1}, {"src": 0, "dst": 2, "rel": 2}]
+            for v in range(3, n):
+                edges.append({"src": int(rng.integers(1, 3)), "dst": v, "rel": 1})
+            pred = edges if t % 4 else edges[:-1]
+            rows.append((f"tbl-{t}", edges, pred, n))
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, gt_edges array<struct<src:int,dst:int,rel:int>>, "
+            "pred_edges array<struct<src:int,dst:int,rel:int>>, n_cells int",
+        )
+        return tree_f1_stage(df, "soft").select(
+            "doc_id",
+            F.round("recall", 6).alias("recall"),
+            F.round("precision", 6).alias("precision"),
+            F.round("f1", 6).alias("f1"),
+        )
+
+    q["tree_f1_metric"] = tree_f1_metric
+
+    def ner_decode(spark, sf):
+        import numpy as np
+
+        from davar_lab_ocr_spark.operators.ner import ner_decode_stage
+
+        rng = np.random.default_rng(59)
+        types = ["PER", "LOC", "ORG"]
+        rows = []
+        for d in range(200):
+            n = int(rng.integers(3, 20))
+            tags, open_t = [], None
+            for _ in range(n):
+                r = rng.random()
+                if r < 0.25:
+                    open_t = types[int(rng.integers(0, 3))]
+                    tags.append(f"B-{open_t}")
+                elif r < 0.45 and open_t:
+                    tags.append(f"I-{open_t}")
+                else:
+                    tags.append("O")
+                    open_t = None
+            rows.append((f"ner-{d}", tags))
+        df = spark.createDataFrame(rows, "doc_id string, tags array<string>")
+        out = ner_decode_stage(df)
+        return out.select("doc_id", F.explode("entities").alias("e")).select(
+            "doc_id", "e.etype", "e.start", "e.end"
+        )
+
+    q["ner_decode"] = ner_decode
+
+    def order_accuracy(spark, sf):
+        from davar_lab_ocr_spark.corpus import expected_df, make_raw_corpus, raw_df
+        from davar_lab_ocr_spark.operators.metrics import total_order_acc
+        from davar_lab_ocr_spark.plans.extract import extract
+
+        raw_rows, expected_rows = make_raw_corpus(80, seed=61, giant_every=20, giant_size=200)
+        pred = extract(raw_df(spark, raw_rows))
+        gt = expected_df(spark, expected_rows)
+        return total_order_acc(pred, gt)
+
+    q["order_accuracy"] = order_accuracy
 
     def pointer_reading_order(spark, sf):
         from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
@@ -869,6 +976,14 @@ def oracle_sql() -> dict[str, str]:
                     * greatest(least(det.y1, dc.y1) - greatest(det.y0, dc.y0), 0)
                     / ((det.x1 - det.x0) * (det.y1 - det.y0)) > 0.5
             )
+        """,
+        "poly_rect": """
+            SELECT p_partkey,
+                   CAST((p_partkey * 3) % 50 AS double) AS x0,
+                   CAST((p_partkey * 7) % 60 AS double) AS y0,
+                   CAST((p_partkey * 3) % 50 + 20 AS double) AS x1,
+                   CAST((p_partkey * 7) % 60 + 30 AS double) AS y1
+            FROM part
         """,
         "recognition_metrics": """
             SELECT round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS acc,

@@ -195,3 +195,89 @@ def macro_f1(df: DataFrame, pred_col: str = "pred", label_col: str = "label") ->
         )
     )
     return f1.agg(F.round(F.avg("f1"), 6).alias("macro_f1"))
+
+
+# ---------------------------------------------------------------------------
+# table metrics (TEDS / tree-F1) as DataFrame stages
+# ---------------------------------------------------------------------------
+def teds_stage(pairs: DataFrame, pred_col: str = "pred_html", gt_col: str = "gt_html",
+               structure_only: bool = False) -> DataFrame:
+    """(doc_id, pred_html, gt_html) -> (doc_id, teds). The reference's
+    n_jobs process pool (parallel.py:5, metric.py:136) becomes executor
+    parallelism."""
+    import pyarrow as pa
+
+    from ..functions.trees import teds_score
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("teds", T.DoubleType())]
+    )
+
+    def run(batches):
+        for batch in batches:
+            preds = batch.column(pred_col).to_pylist()
+            gts = batch.column(gt_col).to_pylist()
+            scores = [teds_score(p or "", g or "", structure_only) for p, g in zip(preds, gts)]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(scores, type=pa.float64())],
+                names=["doc_id", "teds"],
+            )
+
+    return pairs.mapInArrow(run, schema=out_schema)
+
+
+def avg_teds(pairs: DataFrame, **kwargs) -> DataFrame:
+    return teds_stage(pairs, **kwargs).agg(F.round(F.avg("teds"), 6).alias("avg_teds"))
+
+
+def tree_f1_stage(pairs: DataFrame, eval_type: str = "hard") -> DataFrame:
+    """(doc_id, gt_edges, pred_edges, n_cells) -> per-table (r, p, f1);
+    edges are array<struct<src,dst,rel>> (the Spark-friendly edge-list
+    form of the reference's N x N relations matrix)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.trees import tree_f1
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("recall", T.DoubleType()),
+            T.StructField("precision", T.DoubleType()),
+            T.StructField("f1", T.DoubleType()),
+        ]
+    )
+
+    def to_matrix(edges, n):
+        m = np.zeros((n, n), dtype=np.int64)
+        for e in edges or []:
+            m[e["src"]][e["dst"]] = e["rel"]
+        return m
+
+    def run(batches):
+        for batch in batches:
+            gt = batch.column("gt_edges").to_pylist()
+            pr = batch.column("pred_edges").to_pylist()
+            ns = batch.column("n_cells").to_pylist()
+            rows = [tree_f1(to_matrix(g, n), to_matrix(p, n), eval_type)
+                    for g, p, n in zip(gt, pr, ns)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array([r[0] for r in rows], type=pa.float64()),
+                    pa.array([r[1] for r in rows], type=pa.float64()),
+                    pa.array([r[2] for r in rows], type=pa.float64()),
+                ],
+                names=["doc_id", "recall", "precision", "f1"],
+            )
+
+    return pairs.mapInArrow(run, schema=out_schema)
+
+
+def avg_tree_f1(pairs: DataFrame, eval_type: str = "hard") -> DataFrame:
+    """Corpus tree-F1 = mean of per-table r/p/f1 (evaluate_tree_f1)."""
+    return tree_f1_stage(pairs, eval_type).agg(
+        F.round(F.avg("recall"), 6).alias("recall"),
+        F.round(F.avg("precision"), 6).alias("precision"),
+        F.round(F.avg("f1"), 6).alias("f1"),
+    )
