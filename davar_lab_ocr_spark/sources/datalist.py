@@ -19,42 +19,52 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+DATALIST_SCHEMA = (
+    "doc_id string, width int, height int, "
+    "regions array<struct<bbox:array<double>, care:int, "
+    "label:array<string>, text:string>>"
+)
+
+
 def read_davar_datalist(spark: SparkSession, path: str) -> DataFrame:
     """doc-keyed datalist JSON -> rows (doc_id, width, height, regions).
 
-    regions = arrays_zip of bboxes/cares/labels/texts (missing arrays
-    become null fields; '###' marks don't-care text). The '###' comment
-    key at top level is dropped (load_annotations, davar_custom.py:148).
-    """
+    The datalist is one JSON object with arbitrary doc-path keys and a
+    top-level '###' comment key (dropped; load_annotations,
+    davar_custom.py:141-152), so a fixed from_json schema can't parse
+    it. Datalist files are small metadata (the heavy payloads live
+    behind media refs) — wholeTextFiles distributes per-file python
+    parsing across executors, the row conversion mirrors _cvt_list
+    (davar_custom.py:154-180): parallel content_ann arrays zip into one
+    struct array, missing arrays default (cares -> 1, labels/texts ->
+    null/'')."""
     import json
 
-    # one JSON object keyed by arbitrary doc paths: parse driver-side
-    # metadata-free via text read + from_json is impossible without a
-    # schema per key, so use the JVM-side map approach: read as a single
-    # string column, then explode a map<string, struct<...>>.
-    raw = spark.read.option("multiLine", True).option("wholetext", True).text(path)
-    ann_schema = (
-        "map<string, struct<height:int, width:int, "
-        "content_ann:struct<bboxes:array<array<double>>, cares:array<int>, "
-        "labels:array<array<string>>, texts:array<string>>>>"
-    )
-    parsed = raw.select(F.from_json(F.col("value"), ann_schema).alias("m"))
-    exploded = parsed.select(F.explode("m").alias("doc_id", "v")).filter(
-        F.col("doc_id") != "###"
-    )
-    ann = F.col("v.content_ann")
-    zipped = F.arrays_zip(
-        ann["bboxes"].alias("bbox"),
-        ann["cares"].alias("care"),
-        ann["labels"].alias("label"),
-        ann["texts"].alias("text"),
-    )
-    return exploded.select(
-        "doc_id",
-        F.col("v.width").alias("width"),
-        F.col("v.height").alias("height"),
-        zipped.alias("regions"),
-    )
+    def parse(pair):
+        _fname, text = pair
+        data = json.loads(text)
+        for doc_id, v in data.items():
+            if doc_id == "###" or not isinstance(v, dict):
+                continue
+            ann = v.get("content_ann", {}) or {}
+            bboxes = ann.get("bboxes", []) or []
+            n = len(bboxes)
+            cares = ann.get("cares") or [1] * n
+            labels = ann.get("labels") or [None] * n
+            texts = ann.get("texts") or [""] * n
+            regions = [
+                {
+                    "bbox": [float(x) for x in bboxes[i]],
+                    "care": int(cares[i]),
+                    "label": labels[i],
+                    "text": texts[i],
+                }
+                for i in range(n)
+            ]
+            yield (doc_id, v.get("width"), v.get("height"), regions)
+
+    rdd = spark.sparkContext.wholeTextFiles(path).flatMap(parse)
+    return spark.createDataFrame(rdd, schema=DATALIST_SCHEMA)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
@@ -74,3 +84,52 @@ def join_two_level(datalist: DataFrame, annos: DataFrame, url_col: str = "url") 
     """Two-level layout scan: datalist rows reference per-doc anno JSON
     by url; broadcast-join (mm_layout_loading.py:19-120)."""
     return datalist.join(F.broadcast(annos), url_col, "left")
+
+
+def rcg_file_to_rows(docs: DataFrame, sensitive: bool = True) -> DataFrame:
+    """Recognition 'File' datalist flavor (davar_rcg_dataset.py:313-351):
+    explode per-instance (filename, text, bbox, label, care); drop
+    don't-care and non-8-point boxes; optional case fold. Input rows
+    follow read_davar_datalist's shape."""
+    exploded = docs.select(
+        F.col("doc_id").alias("filename"),
+        "width",
+        "height",
+        F.explode("regions").alias("r"),
+    ).filter((F.col("r.care") == 1) & (F.size("r.bbox") == 8))
+    text = F.col("r.text") if sensitive else F.lower(F.col("r.text"))
+    return exploded.select(
+        "filename",
+        "width",
+        "height",
+        text.alias("text"),
+        F.col("r.bbox").alias("bbox"),
+        F.col("r.label").alias("label"),
+    )
+
+
+def rcg_filter(df: DataFrame, max_len: int | None = 25, charset: str | None = None) -> DataFrame:
+    """Recognition per-record filters (length cap, unsupported chars),
+    davar_rcg_dataset.py:354-489 Tight/Loose flavors share these."""
+    out = df
+    if max_len is not None:
+        out = out.filter(F.length("text") <= max_len)
+    if charset is not None:
+        out = out.filter(~F.col("text").rlike(f"[^{charset}]"))
+    return out
+
+
+def lmdb_etl(spark: SparkSession, lmdb_path: str, out_path: str):  # pragma: no cover
+    """LMDB key-value stores (davar_loading_lmdb.py:23-302) have no
+    Spark connector; the reference reads them per-worker. Our 100TB
+    design converts once: scan the store sequentially, write parquet
+    with a binary image column, then everything downstream is columnar.
+    The lmdb module is not available in this environment."""
+    try:
+        import lmdb  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "lmdb not installed in this environment; ETL shape: "
+            "env.begin() cursor -> batches of (key, image bytes, label) -> "
+            "spark.createDataFrame(...).write.parquet(out_path)"
+        ) from exc

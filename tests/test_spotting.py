@@ -1,0 +1,75 @@
+"""Goldens for segmentation grouping + MANGO character voting."""
+
+import numpy as np
+
+from davar_lab_ocr_spark.operators.spotting import (
+    connected_components,
+    mango_char_vote,
+    mango_vote_stage,
+    mask_to_quads,
+    seg_group_stage,
+)
+
+
+def test_connected_components_4conn():
+    seg = np.array(
+        [
+            [1, 1, 0, 0],
+            [0, 1, 0, 1],
+            [0, 0, 0, 1],
+            [1, 0, 0, 0],
+        ]
+    )
+    labels = connected_components(seg)
+    assert labels.max() == 3
+    assert labels[0, 0] == labels[0, 1] == labels[1, 1]
+    assert labels[1, 3] == labels[2, 3] != labels[0, 0]
+    assert labels[3, 0] not in (labels[0, 0], labels[1, 3])
+    # diagonal only -> NOT connected (4-connectivity)
+    diag = np.eye(3, dtype=int)
+    assert connected_components(diag).max() == 3
+
+
+def test_mask_to_quads_sorted_by_area():
+    seg = np.zeros((10, 12), dtype=int)
+    seg[1:4, 1:5] = 1   # area 12
+    seg[6:8, 8:10] = 1  # area 4
+    quads = mask_to_quads(seg)
+    assert len(quads) == 2
+    assert quads[0][1] == 12 and quads[1][1] == 4
+    assert quads[0][0] == [1.0, 1.0, 4.0, 1.0, 4.0, 3.0, 1.0, 3.0]
+
+
+def test_mango_vote_exact_semantics():
+    # position-wise: 'c'(0.5) vs 'b'(0.3+0.3=0.6) -> 'b' wins pos 0
+    assert mango_char_vote(["cat", "bat", "bit"], [0.5, 0.3, 0.3]) == "bat"
+    # '#' end symbol stops voting: short text with high weight truncates
+    assert mango_char_vote(["ab", "abcd"], [0.9, 0.1]) == "ab"
+    # tie -> first-inserted char wins (stable sort)
+    assert mango_char_vote(["x", "y"], [0.5, 0.5]) == "x"
+    assert mango_char_vote([], []) == ""
+
+
+def test_mango_vote_stage(spark):
+    rows = [
+        ("d0", 1, "cat", 0.5),
+        ("d0", 1, "bat", 0.3),
+        ("d0", 1, "bit", 0.3),
+        ("d0", 2, "dog", 1.0),
+        ("d1", 1, "zz", 0.7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, instance int, text string, weight double")
+    got = {(r["doc_id"], r["instance"]): r["voted"] for r in mango_vote_stage(df).collect()}
+    assert got == {("d0", 1): "bat", ("d0", 2): "dog", ("d1", 1): "zz"}
+
+
+def test_seg_group_stage(spark):
+    seg = np.zeros((8, 8), dtype=int)
+    seg[1:3, 1:4] = 1
+    seg[5:7, 5:8] = 1
+    rows = [{"doc_id": "s0", "seg": seg.reshape(-1).tolist(), "h": 8, "w": 8}]
+    df = spark.createDataFrame(rows, "doc_id string, seg array<int>, h int, w int")
+    out = seg_group_stage(df).collect()[0]
+    assert len(out["quads"]) == 2
+    areas = sorted(q["area"] for q in out["quads"])
+    assert areas == [6, 6]
