@@ -449,6 +449,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_correct"] = vocab_correct
 
+    def token_f1(spark, sf):
+        ev = _t(spark, sf, "events")
+        pairs = ev.select(
+            F.when(F.col("event_id") % 7 == 0, F.lit("error"))
+            .otherwise(F.col("event_type"))
+            .alias("pred"),
+            F.col("event_type").alias("label"),
+        )
+        return M.macro_f1(pairs)
+
+    q["token_f1"] = token_f1
+
     def poly_rect(spark, sf):
         from davar_lab_ocr_spark.operators.filters import poly_to_rect_cols
 
@@ -671,6 +683,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return total_order_acc(pred, gt)
 
     q["order_accuracy"] = order_accuracy
+
+    def tp_decode(spark, sf):
+        from davar_lab_ocr_spark.operators.tp_decode import (
+            make_tp_fixture,
+            tp_decode_stage,
+        )
+
+        rows = [dict(make_tp_fixture(16, 16, 64 + 4 * (i % 5), 32), doc_id=f"tp-{i}") for i in range(20)]
+        schema = (
+            "doc_id string, score_text array<double>, score_head array<double>, "
+            "score_tail array<double>, score_bond array<double>, geo_head array<double>, "
+            "geo_tail array<double>, geo_bond array<double>, h int, w int, scale_factor double"
+        )
+        out = tp_decode_stage(spark.createDataFrame(rows, schema))
+        return out.select("doc_id", F.posexplode("polys").alias("inst", "points"))
+
+    q["tp_decode"] = tp_decode
 
     def pointer_reading_order(spark, sf):
         from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
@@ -976,6 +1005,31 @@ def oracle_sql() -> dict[str, str]:
                     * greatest(least(det.y1, dc.y1) - greatest(det.y0, dc.y0), 0)
                     / ((det.x1 - det.x0) * (det.y1 - det.y0)) > 0.5
             )
+        """,
+        "token_f1": """
+            WITH pairs AS (
+                SELECT CASE WHEN event_id % 7 = 0 THEN 'error' ELSE event_type END AS pred,
+                       event_type AS label
+                FROM events
+            ),
+            per_class AS (
+                SELECT label AS cls,
+                       sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS tp,
+                       count(*) AS n_gt
+                FROM pairs GROUP BY label
+            ),
+            pred_counts AS (
+                SELECT pred AS cls, count(*) AS n_pred FROM pairs GROUP BY pred
+            ),
+            f1s AS (
+                SELECT per_class.cls,
+                       tp::double / greatest(coalesce(n_pred, 0), 1) AS p,
+                       tp::double / greatest(n_gt, 1) AS r
+                FROM per_class LEFT JOIN pred_counts ON per_class.cls = pred_counts.cls
+            )
+            SELECT round(avg(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0 END), 6)
+                   AS macro_f1
+            FROM f1s
         """,
         "poly_rect": """
             SELECT p_partkey,
