@@ -701,6 +701,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tp_decode"] = tp_decode
 
+    def full_chain_extract(spark, sf):
+        from davar_lab_ocr_spark.plans.full_chain import (
+            FULLCHAIN_SCHEMA,
+            extract_from_maps,
+            make_fullchain_fixture,
+        )
+
+        rows, _ = make_fullchain_fixture(40, seed=83)
+        return extract_from_maps(spark.createDataFrame(rows, FULLCHAIN_SCHEMA))
+
+    q["full_chain_extract"] = full_chain_extract
+
     def pointer_reading_order(spark, sf):
         from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
         from davar_lab_ocr_spark.operators.ordering import pointer_order_stage
