@@ -449,6 +449,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_correct"] = vocab_correct
 
+    def kv_pairing(spark, sf):
+        from davar_lab_ocr_spark.operators.ie import kv_pairing as kvp
+
+        # synthesize labeled boxes from orders: even keys are 'key'
+        # boxes, odd are 'value' boxes, laid out in rows of four
+        o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 400)
+        k = F.col("o_orderkey")
+        j = k % 40
+        boxes = o.select(
+            F.floor(k / 40).cast("string").alias("doc_id"),
+            k.alias("box_id"),
+            F.when(j % 2 == 0, F.lit("key")).otherwise(F.lit("value")).alias("cls"),
+            (j % 4 * 150).cast("double").alias("x0"),
+            (F.floor(j / 4) * 30 + (j % 2) * 12).cast("double").alias("y0"),
+            F.concat(F.lit("t"), k.cast("string")).alias("text"),
+        )
+        return kvp(boxes)
+
+    q["kv_pairing"] = kv_pairing
+
     def token_f1(spark, sf):
         ev = _t(spark, sf, "events")
         pairs = ev.select(
@@ -1017,6 +1037,33 @@ def oracle_sql() -> dict[str, str]:
                     * greatest(least(det.y1, dc.y1) - greatest(det.y0, dc.y0), 0)
                     / ((det.x1 - det.x0) * (det.y1 - det.y0)) > 0.5
             )
+        """,
+        "kv_pairing": """
+            WITH boxes AS (
+                SELECT CAST(CAST(floor(o_orderkey / 40.0) AS bigint) AS varchar) AS doc_id,
+                       o_orderkey AS box_id,
+                       CASE WHEN (o_orderkey % 40) % 2 = 0 THEN 'key' ELSE 'value' END AS cls,
+                       CAST((o_orderkey % 40) % 4 * 150 AS double) AS x0,
+                       CAST(CAST(floor((o_orderkey % 40) / 4.0) AS bigint) * 30
+                            + ((o_orderkey % 40) % 2) * 12 AS double) AS y0,
+                       't' || CAST(o_orderkey AS varchar) AS text
+                FROM orders WHERE o_orderkey < 400
+            ),
+            cand AS (
+                SELECT v.doc_id, v.box_id AS value_id, k.box_id AS key_id,
+                       k.text AS key_text, v.text AS value_text,
+                       (v.y0 - k.y0) * 2 + abs(v.x0 - k.x0) AS rawcost
+                FROM boxes v JOIN boxes k
+                  ON v.doc_id = k.doc_id AND v.cls = 'value' AND k.cls = 'key'
+                 AND v.y0 - k.y0 >= -4
+            )
+            SELECT doc_id, value_id, key_id, key_text, value_text,
+                   round(rawcost, 6) AS cost
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id, value_id
+                                             ORDER BY rawcost ASC, key_id ASC) AS rk
+                FROM cand
+            ) WHERE rk = 1
         """,
         "token_f1": """
             WITH pairs AS (

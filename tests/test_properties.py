@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from davar_lab_ocr_spark.functions.geometry import (
+    poly_iou,
+    rect_iou_matrix,
+    rect_max_iou,
+    rect_max_iou_matrix,
+)
+from davar_lab_ocr_spark.functions.text import (
+    attn_decode_batch,
+    attn_decode_py,
+    ctc_decode_batch,
+    ctc_decode_py,
+    PAD_ID,
+)
+from davar_lab_ocr_spark.operators.video import edit_dist_iou
+
+rects = st.tuples(
+    st.integers(0, 200), st.integers(0, 200), st.integers(1, 100), st.integers(1, 100)
+).map(lambda t: [float(t[0]), float(t[1]), float(t[0] + t[2]), float(t[1] + t[3])])
+
+
+@given(rects, rects)
+@settings(max_examples=200, deadline=None)
+def test_poly_iou_matches_rect_iou_on_rects(a, b):
+    poly_a = [a[0], a[1], a[2], a[1], a[2], a[3], a[0], a[3]]
+    poly_b = [b[0], b[1], b[2], b[1], b[2], b[3], b[0], b[3]]
+    got = poly_iou(poly_a, poly_b)
+    want = rect_iou_matrix(np.array([a]), np.array([b]))[0, 0]
+    assert abs(got - want) < 1e-9
+    # symmetry + bounds
+    assert abs(poly_iou(poly_b, poly_a) - got) < 1e-9
+    assert -1e-12 <= got <= 1 + 1e-12
+
+
+@given(rects, rects)
+@settings(max_examples=100, deadline=None)
+def test_rect_max_iou_scalar_matches_matrix(a, b):
+    got = rect_max_iou(a, b)
+    want = rect_max_iou_matrix(np.array([a]), np.array([b]))[0, 0]
+    assert abs(got - want) < 1e-12
+    assert got >= rect_iou_matrix(np.array([a]), np.array([b]))[0, 0] - 1e-12
+
+
+ids_seq = st.lists(st.integers(0, 36), max_size=40)
+
+
+@given(st.lists(ids_seq, min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_ctc_batch_equals_py(seqs):
+    max_t = max((len(s) for s in seqs), default=1) or 1
+    mat = np.full((len(seqs), max_t), PAD_ID, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        mat[i, : len(s)] = s
+    assert ctc_decode_batch(mat) == [ctc_decode_py(s) for s in seqs]
+
+
+@given(st.lists(st.lists(st.integers(0, 37), max_size=30), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_attn_batch_equals_py(seqs):
+    max_t = max((len(s) for s in seqs), default=1) or 1
+    mat = np.full((len(seqs), max_t), PAD_ID, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        mat[i, : len(s)] = s
+    assert attn_decode_batch(mat) == [attn_decode_py(s) for s in seqs]
+
+
+words = st.text(alphabet="abcdefg", max_size=12)
+
+
+@given(words, words)
+@settings(max_examples=200, deadline=None)
+def test_edit_dist_iou_properties(a, b):
+    v = edit_dist_iou(a, b)
+    assert 0.0 <= v <= 1.0
+    assert edit_dist_iou(b, a) == v
+    assert edit_dist_iou(a, a) == 1.0
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.floats(0.01, 1.0)), min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_nms_keeps_highest_and_is_subset(items):
+    from davar_lab_ocr_spark.functions.geometry import nms_rects
+
+    arr = np.array(
+        [[x, x, x + 10, x + 10, s] for x, s in items], dtype=float
+    )
+    keep = nms_rects(arr, iou_thres=0.3)
+    assert len(keep) >= 1
+    assert set(keep.tolist()) <= set(range(len(arr)))
+    # the globally highest-scored box always survives
+    assert int(np.argmax(arr[:, 4])) in keep or any(
+        arr[k, 4] == arr[:, 4].max() for k in keep
+    )
