@@ -1,0 +1,70 @@
+"""CTC prefix beam search goldens: exact vs brute-force enumeration on
+tiny inputs; agreement with greedy on peaked distributions."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from davar_lab_ocr_spark.functions.beam import (
+    ctc_beam_search,
+    ctc_label_probability,
+)
+from davar_lab_ocr_spark.functions.text import CTC_CHARSET, ctc_decode_py
+
+
+def _norm_log(rng, t, v):
+    p = rng.random((t, v)) + 1e-3
+    p /= p.sum(axis=1, keepdims=True)
+    return np.log(p)
+
+
+def test_beam_matches_bruteforce_map_label():
+    """With a full-width beam and no pruning, beam search must return
+    the maximum-probability LABEL (summed over alignments)."""
+    rng = np.random.default_rng(17)
+    for trial in range(15):
+        t, v = int(rng.integers(2, 5)), 3  # blank + chars '0','1'
+        lp = _norm_log(rng, t, v)
+        # enumerate every possible label up to length t
+        best_label, best_p = None, -float("inf")
+        syms = [1, 2]
+        labels = [()]
+        for L in range(1, t + 1):
+            labels += list(itertools.product(syms, repeat=L))
+        for lab in labels:
+            p = ctc_label_probability(lp, lab)
+            if p > best_p:
+                best_p, best_label = p, lab
+        want = "".join(CTC_CHARSET[i] for i in best_label)
+        got = ctc_beam_search(lp, beam_size=200, cutoff_top_n=None)
+        assert got == want, (trial, lp.shape, got, want)
+
+
+def test_beam_equals_greedy_on_peaked():
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        t = int(rng.integers(3, 12))
+        ids = rng.integers(0, 10, size=t)
+        lp = np.full((t, 10), np.log(0.01 / 9))
+        lp[np.arange(t), ids] = np.log(0.99)
+        greedy = ctc_decode_py(ids.tolist())
+        assert ctc_beam_search(lp, beam_size=66, cutoff_top_n=2) == greedy
+
+
+def test_beam_prefers_summed_paths_over_greedy():
+    """The canonical case where greedy is wrong: blank is the argmax at
+    every step but the summed mass favors a non-empty label."""
+    # V = 2: blank, 'a'. P(blank)=0.6, P(a)=0.4 at both steps.
+    lp = np.log(np.array([[0.6, 0.4], [0.6, 0.4]]))
+    # greedy: blank,blank -> ''; P('')=0.36
+    # P('a') = 0.4*0.6 + 0.6*0.4 + 0.4*0.4 = 0.64 -> beam must pick 'a'
+    assert ctc_decode_py([0, 0]) == ""
+    assert ctc_beam_search(lp, beam_size=10, cutoff_top_n=None) == "0"[0:0] + CTC_CHARSET[1]
+
+
+def test_beam_empty_and_single_step():
+    lp = np.log(np.array([[0.9, 0.1]]))
+    assert ctc_beam_search(lp) == ""
+    lp = np.log(np.array([[0.1, 0.9]]))
+    assert ctc_beam_search(lp) == CTC_CHARSET[1]
