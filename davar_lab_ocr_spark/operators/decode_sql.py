@@ -67,3 +67,20 @@ def text_decode_col(mode_col, ids_col) -> F.Column:
         .when(mode_col == "attn", attn_decode_col(ids_col))
         .otherwise(F.lit(""))
     )
+
+
+def ace_decode_col(ids_col) -> F.Column:
+    """ACE decode: drop zero ids, map the rest to chars
+    (ace_converter.py:107-124) — chars at ids 1..36 like CTC."""
+    kept = F.filter(ids_col, lambda v: v != 0)
+    return F.array_join(
+        F.transform(kept, lambda v: F.lit(CHARS36).substr(v.cast("int"), F.lit(1))), ""
+    )
+
+
+def rfl_length_col(counts_col) -> F.Column:
+    """RFL decode: predicted text length = round(sum(per-class counts))
+    (rfl_converter.py:117-133)."""
+    return F.round(
+        F.aggregate(counts_col, F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+    ).cast("int")

@@ -72,3 +72,27 @@ def test_encoders_roundtrip():
         )
         assert ctc_decode_py(ctc_encode_with_noise(word, rng)) == word
         assert attn_decode_py(attn_encode(word, rng)) == word
+
+
+def test_ace_and_rfl_sql_decoders(spark):
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.operators.decode_sql import (
+        ace_decode_col,
+        rfl_length_col,
+    )
+
+    df = spark.createDataFrame(
+        [([0, 11, 0, 12, 15, 0], [0.9, 1.2, 0.95]),
+         ([], [0.0]),
+         ([1, 10], [2.6])],
+        "ids array<int>, counts array<double>",
+    )
+    out = df.select(
+        ace_decode_col(F.col("ids")).alias("txt"),
+        rfl_length_col(F.col("counts")).alias("n"),
+    ).collect()
+    # ids 11,12,15 -> chars at CHARS36[10],[11],[14] = 'a','b','e'
+    assert (out[0]["txt"], out[0]["n"]) == ("abe", 3)
+    assert (out[1]["txt"], out[1]["n"]) == ("", 0)
+    assert (out[2]["txt"], out[2]["n"]) == ("09", 3)
