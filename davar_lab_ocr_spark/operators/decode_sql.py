@@ -25,9 +25,14 @@ import pyspark.sql.functions as F
 from ..functions.text import CHARS36
 
 
+def _char(v) -> F.Column:
+    """charset char for id (1..36) -> substr(CHARS36, id, 1)."""
+    return F.lit(CHARS36).substr(v.cast("int"), F.lit(1))
+
+
 def _char_at(ids_col, i):
-    """charset char for ctc id (1..36) -> substr(CHARS36, id, 1)."""
-    return F.lit(CHARS36).substr(F.element_at(ids_col, (i + 1).cast("int")).cast("int"), F.lit(1))
+    """charset char for the ctc id at 0-based position i."""
+    return _char(F.element_at(ids_col, (i + 1).cast("int")))
 
 
 def ctc_decode_col(ids_col) -> F.Column:
@@ -54,33 +59,35 @@ def attn_decode_col(ids_col) -> F.Column:
         ids_col,
         lambda v: F.when(v == 0, F.lit("[GO]"))
         .when(v == 1, F.lit("[s]"))
-        .otherwise(F.lit(CHARS36).substr((v - 1).cast("int"), F.lit(1))),
+        .otherwise(_char(v - 1)),
     )
     joined = F.array_join(mapped, "")
     return F.substring_index(joined, "[s]", 1)
 
 
 def text_decode_col(mode_col, ids_col) -> F.Column:
-    """Dispatch on mode: ctc | attn | anything else -> ''."""
+    """Dispatch on mode: ctc | attn | ace | anything else -> ''."""
     return (
         F.when(mode_col == "ctc", ctc_decode_col(ids_col))
         .when(mode_col == "attn", attn_decode_col(ids_col))
+        .when(mode_col == "ace", ace_decode_col(ids_col))
         .otherwise(F.lit(""))
     )
 
 
 def ace_decode_col(ids_col) -> F.Column:
-    """ACE decode: drop zero ids, map the rest to chars
-    (ace_converter.py:107-124) — chars at ids 1..36 like CTC."""
-    kept = F.filter(ids_col, lambda v: v != 0)
-    return F.array_join(
-        F.transform(kept, lambda v: F.lit(CHARS36).substr(v.cast("int"), F.lit(1))), ""
-    )
+    """ACE decode: drop non-positive ids (blank 0 and ragged-matrix
+    PAD_ID -1), map the rest to chars (ace_converter.py:107-124 —
+    chars at ids 1..36 like CTC). Never returns null: null/empty
+    input -> '' like the other decoders."""
+    kept = F.filter(ids_col, lambda v: v > 0)
+    text = F.array_join(F.transform(kept, _char), "")
+    return F.coalesce(text, F.lit(""))
 
 
 def rfl_length_col(counts_col) -> F.Column:
     """RFL decode: predicted text length = round(sum(per-class counts))
-    (rfl_converter.py:117-133)."""
-    return F.round(
-        F.aggregate(counts_col, F.lit(0.0), lambda acc, v: acc + v.cast("double"))
-    ).cast("int")
+    (rfl_converter.py:117-133). Python round() is HALF_EVEN, so use
+    bround, not Spark's HALF_UP round. Null input -> 0."""
+    total = F.aggregate(counts_col, F.lit(0.0), lambda acc, v: acc + v.cast("double"))
+    return F.coalesce(F.bround(total).cast("int"), F.lit(0))

@@ -96,3 +96,31 @@ def test_ace_and_rfl_sql_decoders(spark):
     assert (out[0]["txt"], out[0]["n"]) == ("abe", 3)
     assert (out[1]["txt"], out[1]["n"]) == ("", 0)
     assert (out[2]["txt"], out[2]["n"]) == ("09", 3)
+
+
+def test_ace_rfl_edge_cases(spark):
+    """Review findings: PAD_ID handling, null-safety, HALF_EVEN rounding,
+    mode dispatch."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.operators.decode_sql import (
+        ace_decode_col,
+        rfl_length_col,
+        text_decode_col,
+    )
+
+    df = spark.createDataFrame(
+        [([1, 10, -1, -1], [2.5]),      # PAD ids must be skipped; 2.5 -> 2 (HALF_EVEN)
+         (None, None),                   # null-safe: '' and 0
+         ([0, 36], [0.5])],              # 0.5 -> 0 (HALF_EVEN)
+        "ids array<int>, counts array<double>",
+    )
+    out = df.select(
+        ace_decode_col(F.col("ids")).alias("txt"),
+        rfl_length_col(F.col("counts")).alias("n"),
+        text_decode_col(F.lit("ace"), F.col("ids")).alias("via_dispatch"),
+    ).collect()
+    assert (out[0]["txt"], out[0]["n"]) == ("09", 2)
+    assert (out[1]["txt"], out[1]["n"]) == ("", 0)
+    assert (out[2]["txt"], out[2]["n"]) == ("z", 0)
+    assert out[0]["via_dispatch"] == "09"
