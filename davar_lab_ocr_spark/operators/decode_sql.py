@@ -26,8 +26,9 @@ from ..functions.text import CHARS36
 
 
 def _char(v) -> F.Column:
-    """charset char for id (1..36) -> substr(CHARS36, id, 1)."""
-    return F.lit(CHARS36).substr(v.cast("int"), F.lit(1))
+    """charset char for id (1..36) -> substr(CHARS36, id, 1), clamped
+    high like the python oracle's min(id, max_index) (-> 'z')."""
+    return F.lit(CHARS36).substr(F.least(v.cast("int"), F.lit(len(CHARS36))), F.lit(1))
 
 
 def _char_at(ids_col, i):
@@ -36,11 +37,13 @@ def _char_at(ids_col, i):
 
 
 def ctc_decode_col(ids_col) -> F.Column:
-    """Greedy CTC decode of array<int> -> string, pure JVM exprs."""
+    """Greedy CTC decode of array<int> -> string, pure JVM exprs.
+    Keeps ids > 0 only (skips blank 0 and ragged-matrix PAD_ID -1,
+    matching ctc_decode_py / ctc_decode_batch)."""
     idxs = F.sequence(F.lit(0), F.size(ids_col) - 1)
     kept = F.filter(
         idxs,
-        lambda i: (F.element_at(ids_col, (i + 1).cast("int")) != 0)
+        lambda i: (F.element_at(ids_col, (i + 1).cast("int")) > 0)
         & (
             (i == 0)
             | (
@@ -54,15 +57,18 @@ def ctc_decode_col(ids_col) -> F.Column:
 
 
 def attn_decode_col(ids_col) -> F.Column:
-    """Attention decode of array<int> -> string, pure JVM exprs."""
+    """Attention decode of array<int> -> string, pure JVM exprs.
+    PAD_ID (-1) padding is dropped before mapping (the python oracle
+    stops at the first PAD)."""
+    valid = F.filter(ids_col, lambda v: v >= 0)
     mapped = F.transform(
-        ids_col,
+        valid,
         lambda v: F.when(v == 0, F.lit("[GO]"))
         .when(v == 1, F.lit("[s]"))
         .otherwise(_char(v - 1)),
     )
     joined = F.array_join(mapped, "")
-    return F.substring_index(joined, "[s]", 1)
+    return F.coalesce(F.substring_index(joined, "[s]", 1), F.lit(""))
 
 
 def text_decode_col(mode_col, ids_col) -> F.Column:

@@ -42,7 +42,8 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     a = toks.alias("a")
     b = toks.alias("b")
     c = toks.alias("c")
-    assert n == 3, "join-based shingling implemented for n=3"
+    if n != 3:
+        raise ValueError("join-based shingling implemented for n=3 only")
     return (
         a.join(b, (F.col(f"a.{id_col}") == F.col(f"b.{id_col}")) & (F.col("b.ord") == F.col("a.ord") + 1))
         .join(c, (F.col(f"a.{id_col}") == F.col(f"c.{id_col}")) & (F.col("c.ord") == F.col("a.ord") + 2))

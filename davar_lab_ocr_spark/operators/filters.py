@@ -57,5 +57,19 @@ def filter_texts(
     if max_len is not None:
         out = out.filter(F.length(text_col) <= max_len)
     if charset is not None:
-        out = out.filter(~F.col(text_col).rlike(f"[^{charset}]"))
+        out = out.filter(~F.col(text_col).rlike(_charset_class(charset)))
     return out
+
+
+def _charset_class(charset: str) -> str:
+    """Validate a user charset (a regex character-class BODY like
+    'a-z0-9') and return the negated class pattern. Fails fast at plan
+    time instead of a runtime PatternSyntaxException on executors."""
+    import re
+
+    pattern = f"[^{charset}]"
+    try:
+        re.compile(pattern)
+    except re.error as exc:
+        raise ValueError(f"invalid charset {charset!r}: {exc}") from exc
+    return pattern

@@ -36,6 +36,10 @@ def chargrid_py(h: int, w: int, char_ids: list[list[int]], cbboxes: list[list[li
         n = min(len(line_ids), len(line_boxes))
         for k in range(n):
             x0, y0, x1, y1 = [int(round(v)) for v in line_boxes[k]]
+            # clamp page-edge boxes: negative indices would wrap to the
+            # far side of the grid in numpy
+            x0, x1 = max(x0, 0), min(max(x1, 0), w)
+            y0, y1 = max(y0, 0), min(max(y1, 0), h)
             grid[y0:y1, x0:x1] = line_ids[k]
     return grid
 

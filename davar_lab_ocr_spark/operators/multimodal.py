@@ -117,8 +117,10 @@ def resize_meta_cols(h_col, w_col, long_side: int = 1280, short_side: int = 720)
 
 
 def frame_sample_col(n_frames_col, every_k: int = 5):
-    """Every k-th frame index (video sampling), pure SQL."""
-    return F.filter(
+    """Every k-th frame index (video sampling), pure SQL. Guarded for
+    n_frames=0: sequence(0, -1) would produce a DESCENDING [0, -1]."""
+    sampled = F.filter(
         F.sequence(F.lit(0), n_frames_col - 1),
         lambda i: i % every_k == 0,
     )
+    return F.when(n_frames_col > 0, sampled).otherwise(F.array().cast("array<bigint>"))

@@ -58,13 +58,11 @@ DEFAULT_SALT_BUCKETS = 1  # single-shuffle re-assembly; >1 enables two-phase
 
 
 def filter_documents(raw: DataFrame) -> DataFrame:
-    """Corpus-level filter (davar_custom.py:182-207 semantics)."""
-    cared = F.size(F.filter("regions", lambda r: r["care"] == 1))
-    return raw.filter(
-        (~F.col("doc_id").endswith(".gif"))
-        & (F.least("width", "height") >= 32)
-        & (cared > 0)
-    )
+    """Corpus-level filter — the single implementation lives in
+    operators/filters.filter_docs (davar_custom.py:182-207 semantics)."""
+    from ..operators.filters import filter_docs
+
+    return filter_docs(raw)
 
 
 def classify_kind(col_scores) -> F.Column:
@@ -143,13 +141,8 @@ def extract(raw: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFra
 
     # xy-cut reading order: array_sort over struct(y0, x0, ...) sorts
     # lexicographically by field order; offsets attached positionally
-    spans = F.transform(
-        F.array_sort("spans_unsorted"),
-        lambda s, i: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            i.cast("int").alias("offset"),
-        ),
+    from ..operators.ordering import sort_spans_expr
+
+    return merged.select(
+        "doc_id", sort_spans_expr(F.col("spans_unsorted")).alias("spans")
     )
-    return merged.select("doc_id", spans.alias("spans"))

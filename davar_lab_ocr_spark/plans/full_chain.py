@@ -37,6 +37,18 @@ def extract_from_maps(det: DataFrame, thres_text: float = 0.8, nms_thres: float 
     )
     payloads = det.select("doc_id", "line_payloads")
     joined = quads.join(payloads, "doc_id")
+    # positional zip requires detector and recognizer to agree on the
+    # line count — fail loudly instead of silently mispairing texts
+    joined = joined.withColumn(
+        "_count_ok",
+        F.assert_true(
+            F.size("quads") == F.size("line_payloads"),
+            F.concat(
+                F.lit("detector/recognizer line-count mismatch for doc "),
+                F.col("doc_id"),
+            ),
+        ),
+    )
 
     # reading order: sort quads by (y0, x0) of their first corner band
     sorted_quads = F.array_sort(
@@ -75,7 +87,7 @@ def extract_from_maps(det: DataFrame, thres_text: float = 0.8, nms_thres: float 
             F.round(s["conf"], 6).alias("conf"),
         ),
     )
-    return joined.select("doc_id", out.alias("spans"))
+    return joined.select("doc_id", out.alias("spans"), "_count_ok").drop("_count_ok")
 
 
 def make_fullchain_fixture(n_docs: int, seed: int = 83):

@@ -115,7 +115,9 @@ def rcg_filter(df: DataFrame, max_len: int | None = 25, charset: str | None = No
     if max_len is not None:
         out = out.filter(F.length("text") <= max_len)
     if charset is not None:
-        out = out.filter(~F.col("text").rlike(f"[^{charset}]"))
+        from ..operators.filters import _charset_class
+
+        out = out.filter(~F.col("text").rlike(_charset_class(charset)))
     return out
 
 

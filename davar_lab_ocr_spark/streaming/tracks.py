@@ -71,9 +71,14 @@ def stream_extract(spark, source_path: str, schema, out_path: str, checkpoint: s
     raw = spark.readStream.schema(schema).parquet(source_path)
     # the final groupBy(doc_id) is a streaming aggregation; with
     # append-only per-doc rows we instead run extract per microbatch
-    # (foreachBatch), which keeps the batch plan untouched
+    # (foreachBatch), which keeps the batch plan untouched.
+    # Idempotent under microbatch REPLAY: each batch overwrites its own
+    # batch_id-keyed directory, so an at-least-once retry rewrites the
+    # same data instead of appending duplicates.
     def _process(batch_df, batch_id):
-        extract(batch_df).write.mode("append").parquet(out_path)
+        extract(batch_df).write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}"
+        )
 
     return (
         raw.writeStream.foreachBatch(_process)

@@ -57,3 +57,14 @@ def test_classify_regions(spark):
     )
     kinds = [r["kind"] for r in classify_regions(df).collect()]
     assert kinds == ["title", "figure"]
+
+
+def test_chargrid_clamps_page_edge_boxes():
+    # a box poking off the left edge clamps (paints cols 0:2, rows 1:3);
+    # a fully-off-page box paints NOTHING (no numpy negative wraparound)
+    grid = chargrid_py(5, 5, [[7, 8]], [[[-2.0, 1.0, 2.0, 3.0], [-5.0, 0.0, -1.0, 2.0]]])
+    assert grid[1, 0] == 7 and grid[2, 1] == 7 and grid[1, 2] == 0
+    assert (grid != 0).sum() == 4  # only the clamped box painted
+    # overflow on the far side clamps to the page
+    grid2 = chargrid_py(4, 4, [[3]], [[[2.0, 2.0, 9.0, 9.0]]])
+    assert (grid2 != 0).sum() == 4 and grid2[3, 3] == 3

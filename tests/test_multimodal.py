@@ -55,3 +55,11 @@ def test_frame_sample(spark):
     df = spark.createDataFrame([(12,)], ["n"])
     row = df.select(frame_sample_col(F.col("n"), 5).alias("f")).collect()[0]
     assert row["f"] == [0, 5, 10]
+
+
+def test_frame_sample_zero_frames(spark):
+    df = spark.createDataFrame([(0,), (1,)], ["n"])
+    rows = {r["n"]: r["f"] for r in df.select(
+        F.col("n"), frame_sample_col(F.col("n"), 5).alias("f")).collect()}
+    assert rows[0] == []
+    assert rows[1] == [0]
