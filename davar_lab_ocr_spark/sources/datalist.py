@@ -135,3 +135,27 @@ def lmdb_etl(spark: SparkSession, lmdb_path: str, out_path: str):  # pragma: no 
             "env.begin() cursor -> batches of (key, image bytes, label) -> "
             "spark.createDataFrame(...).write.parquet(out_path)"
         ) from exc
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str = "doc_id", n_buckets: int = 16) -> None:
+    """Persist a table bucketed+sorted by the join key. Two tables
+    bucketed the same way join with ZERO exchanges (co-located
+    sort-merge join) — the 100TB recipe for repeated doc_id joins
+    (annotations x media, raw x processed-ids, ...)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a stale managed-table directory (e.g. from a crashed run whose
+    # metastore is gone) blocks re-creation; clear it
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        f"{warehouse.removeprefix('file:')}/{table}", ignore_errors=True
+    )
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
