@@ -83,39 +83,63 @@ def extract(raw: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFra
     from ..operators.decode_sql import text_decode_col
     from ..operators.table import lgpma_stage
 
-    exploded = (
-        filter_documents(raw)
-        .select("doc_id", F.posexplode("regions").alias("pos", "r"))
-        .filter(F.col("r.care") == 1)
-        .select(
+    def branch(table_rows: bool):
+        """Explode + IMMEDIATE field extraction per branch so Catalyst's
+        nested-schema pruning reaches each parquet scan: the text branch
+        never reads the cell arrays, the table branch never reads
+        pred_ids. Pruning is fragile (verified empirically via
+        ReadSchema): a Filter between Generate and the field-extracting
+        Project blocks it, as do posexplode and transform() lambdas —
+        hence explode first, extract fields second, filter third.
+        posexplode (for region-index salting) is only used when
+        salt_buckets > 1, trading the pruned scan for the salt column.
+        """
+        # scalar corpus predicates only (gif / min side): the full
+        # filter_documents also counts cared regions via a lambda over
+        # the struct array, which kills nested pruning — and is
+        # redundant here because the per-region care filter below
+        # already removes every row of such documents.
+        scalar_filtered = raw.filter(
+            (~F.col("doc_id").endswith(".gif")) & (F.least("width", "height") >= 32)
+        )
+        if salt_buckets > 1:
+            base = scalar_filtered.select(
+                "doc_id", F.posexplode("regions").alias("pos", "r")
+            )
+            salt = F.pmod(F.col("pos"), F.lit(salt_buckets)).cast("int").alias("salt")
+        else:
+            base = scalar_filtered.select("doc_id", F.explode("regions").alias("r"))
+            salt = F.lit(0).alias("salt")
+        payload = (
+            [
+                F.col("r.cell_bboxes").alias("cell_bboxes"),
+                F.col("r.cell_texts").alias("cell_texts"),
+            ]
+            if table_rows
+            else [text_decode_col(F.col("r.mode"), F.col("r.pred_ids")).alias("text")]
+        )
+        extracted = base.select(
             "doc_id",
-            F.pmod(F.col("pos"), F.lit(salt_buckets)).cast("int").alias("salt"),
+            salt,
             F.col("r.bbox")[1].alias("y0"),
             F.col("r.bbox")[0].alias("x0"),
             classify_kind(F.col("r.kind_scores")).alias("kind"),
-            F.col("r.pred_ids").alias("pred_ids"),
-            F.col("r.mode").alias("mode"),
             F.col("r.media_ref").alias("media_ref"),
-            F.col("r.cell_bboxes").alias("cell_bboxes"),
-            F.col("r.cell_texts").alias("cell_texts"),
+            F.col("r.care").alias("care"),
+            F.col("r.mode").alias("mode"),
+            *payload,
         )
-    )
+        mode_pred = (
+            (F.col("mode") == "table") if table_rows else (F.col("mode") != "table")
+        )
+        return extracted.filter((F.col("care") == 1) & mode_pred).drop("care", "mode")
 
-    text_media = exploded.filter(F.col("mode") != "table").select(
-        "doc_id",
-        "salt",
-        "y0",
-        "x0",
-        "kind",
-        text_decode_col(F.col("mode"), F.col("pred_ids")).alias("text"),
-        "media_ref",
+    text_media = branch(table_rows=False).select(
+        "doc_id", "salt", "y0", "x0", "kind", "text", "media_ref"
     )
-    tables = lgpma_stage(
-        exploded.filter(F.col("mode") == "table").select(
-            "doc_id", "salt", "y0", "x0", "kind", "media_ref", "cell_bboxes", "cell_texts"
-        ),
-        out_col="text",
-    ).select("doc_id", "salt", "y0", "x0", "kind", "text", "media_ref")
+    tables = lgpma_stage(branch(table_rows=True), out_col="text").select(
+        "doc_id", "salt", "y0", "x0", "kind", "text", "media_ref"
+    )
 
     decoded = text_media.unionByName(tables)
 
