@@ -33,6 +33,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+FIXTURES = "/root/repo/tests/fixtures"
+
+
+def _explode_spans(docs: DataFrame) -> DataFrame:
+    """documents (doc_id, spans[]) -> scalar span rows the driver's
+    canonicalizer can sort/hash (arrays are unhashable in pandas)."""
+    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _spans_fixture_sql(name: str) -> str:
+    return f"""
+        SELECT doc_id, "offset", kind, text, media_ref
+        FROM read_parquet('{FIXTURES}/{name}.parquet')
+    """
+
+
 # ---------------------------------------------------------------------------
 # derived inputs shared by several queries (identical derivation in SQL)
 # ---------------------------------------------------------------------------
@@ -500,9 +522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["poly_rect"] = poly_rect
 
-    # --- rows-only (non-SQL-expressible; pytest goldens in tests/) -----
+    # --- fixture-oracle queries (expected outputs derived by the pure-
+    # python second implementations in corpus.py / full_chain.py /
+    # detection.py fixtures, committed as tests/fixtures/*.parquet by
+    # tools/make_expected_fixtures.py; oracle_sql reads them) ---------
     def flagship_extract(spark, sf):
-        return entry(spark)
+        return _explode_spans(entry(spark))
 
     q["flagship_extract"] = flagship_extract
 
@@ -594,7 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         half = full.filter(F.col("doc_id") < "doc-19-0000030")
         run_resumable_extract(spark, half, out, batch_id="b1")
         run_resumable_extract(spark, full, out, batch_id="b2")
-        return SnapshotSink(out).read(spark)
+        return _explode_spans(SnapshotSink(out).read(spark))
 
     q["resumable_extract"] = resumable_extract
 
@@ -609,10 +634,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             make_east_fixture(d, mode="RBOX" if d % 2 else "QUAD")[0] for d in range(40)
         ]
         out = east_decode_stage(spark.createDataFrame(rows, schema=DET_MAPS))
-        return out.select(
-            "doc_id",
-            F.posexplode("quads").alias("det_id", "q"),
-        ).select("doc_id", "det_id", F.col("q.points"), F.round("q.conf", 4).alias("conf"))
+        corner_cols = [
+            F.round(F.element_at(F.col("q.points"), i + 1), 4).alias(c)
+            for i, c in enumerate(("x0", "y0", "x1", "y1", "x2", "y2", "x3", "y3"))
+        ]
+        return out.select("doc_id", F.explode("quads").alias("q")).select(
+            "doc_id", *corner_cols, F.round("q.conf", 4).alias("conf")
+        )
 
     q["east_decode"] = east_decode
 
@@ -717,7 +745,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "geo_tail array<double>, geo_bond array<double>, h int, w int, scale_factor double"
         )
         out = tp_decode_stage(spark.createDataFrame(rows, schema))
-        return out.select("doc_id", F.posexplode("polys").alias("inst", "points"))
+        return out.select("doc_id", F.posexplode("polys").alias("inst", "poly")).select(
+            "doc_id",
+            F.col("inst").cast("int").alias("inst"),
+            F.concat_ws(",", F.transform("poly", lambda v: v.cast("string"))).alias("points"),
+        )
 
     q["tp_decode"] = tp_decode
 
@@ -729,7 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         rows, _ = make_fullchain_fixture(40, seed=83)
-        return extract_from_maps(spark.createDataFrame(rows, FULLCHAIN_SCHEMA))
+        return _explode_spans(extract_from_maps(spark.createDataFrame(rows, FULLCHAIN_SCHEMA)))
 
     q["full_chain_extract"] = full_chain_extract
 
@@ -1159,8 +1191,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT user_id, es,
-                       sum(boundary) OVER (PARTITION BY user_id ORDER BY es, event_id
-                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                       CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                                ROWS UNBOUNDED PRECEDING) AS bigint)
+                       AS session_id
                 FROM b
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -1201,5 +1234,19 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY dist ASC, lex ASC) AS rk
                 FROM cand
             ) WHERE rk = 1
+        """,
+        # fixture oracles: expected outputs derived by the independent
+        # pure-python second implementations (see
+        # tools/make_expected_fixtures.py for provenance per fixture)
+        "flagship_extract": _spans_fixture_sql("expected_flagship"),
+        "resumable_extract": _spans_fixture_sql("expected_resume"),
+        "full_chain_extract": _spans_fixture_sql("expected_fullchain"),
+        "east_decode": f"""
+            SELECT doc_id, x0, y0, x1, y1, x2, y2, x3, y3, conf
+            FROM read_parquet('{FIXTURES}/expected_east.parquet')
+        """,
+        "tp_decode": f"""
+            SELECT doc_id, inst, points
+            FROM read_parquet('{FIXTURES}/expected_tp.parquet')
         """,
     }

@@ -31,7 +31,10 @@ def value_hash(pdf: pd.DataFrame) -> str:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
     pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
-    payload = pdf.to_csv(index=False, float_format="%.9g")
+    # plain to_csv, NO float_format: the driver's renderer does not mask
+    # dtype drift (e.g. DuckDB HUGEINT -> float64 '1.0' vs bigint '1'),
+    # so neither do we — that class of mismatch must surface locally.
+    payload = pdf.to_csv(index=False)
     return hashlib.md5(payload.encode()).hexdigest()
 
 
