@@ -294,7 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ngram_jaccard(spark, sf):
         all_docs = _planted_dups(spark, sf, 150)
-        return D.ngram_jaccard_pairs(all_docs, threshold=0.5)
+        return D.ngram_jaccard_pairs(all_docs, threshold=0.5, max_shingle_df=50)
 
     q["ngram_jaccard"] = ngram_jaccard
 
@@ -384,6 +384,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return M.compute_ap(scored, "conf", "matched", id_col="event_id")
 
     q["ap_sweep"] = ap_sweep
+
+    def map_sweep(spark, sf):
+        ev = _t(spark, sf, "events")
+        scored = ev.select(
+            F.col("event_type").alias("cls"),
+            F.col("value").alias("conf"),
+            (F.col("event_id") % 3 == 0).cast("int").alias("matched"),
+            "event_id",
+        )
+        return M.eval_map(scored, id_col="event_id")
+
+    q["map_sweep"] = map_sweep
+
+    def recall_at_k(spark, sf):
+        ev = _t(spark, sf, "events")
+        scored = ev.select(
+            (F.col("event_id") % 50).alias("img_id"),
+            F.col("value").alias("conf"),
+            (F.col("event_type") == "purchase").cast("int").alias("matched"),
+            "event_id",
+        )
+        return M.eval_recalls(scored, budgets=[5, 20, 100], id_col="event_id")
+
+    q["recall_at_k"] = recall_at_k
 
     def char_voting(spark, sf):
         from pyspark.sql.window import Window
@@ -958,7 +982,12 @@ def oracle_sql() -> dict[str, str]:
             FROM allx GROUP BY 1 HAVING count(*) > 1
         """,
         "ngram_jaccard": f"""
-            WITH sh AS ({sh_150}),
+            WITH sh_all AS ({sh_150}),
+            sh AS (
+                SELECT * FROM sh_all WHERE shingle IN (
+                    SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 50
+                )
+            ),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             pairs AS (
                 SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS common
@@ -1157,6 +1186,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(
                 (SELECT sum(cum_correct::double / rank) FROM ranked WHERE m = 1)
                 / greatest((SELECT sum(m) FROM scored), 1), 6) AS ap
+        """,
+        "map_sweep": """
+            WITH scored AS (
+                SELECT event_type AS cls, value AS conf,
+                       CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS m, event_id
+                FROM events
+            ),
+            ranked AS (
+                SELECT cls, m,
+                       sum(m) OVER (PARTITION BY cls ORDER BY conf DESC, event_id ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       row_number() OVER (PARTITION BY cls
+                                          ORDER BY conf DESC, event_id ASC) AS rank
+                FROM scored
+            ),
+            s AS (SELECT cls, sum(cum::double / rank) AS s FROM ranked WHERE m = 1 GROUP BY cls),
+            g AS (SELECT cls, sum(m) AS n_gt FROM scored GROUP BY cls),
+            per_class AS (
+                SELECT g.cls, round(coalesce(s.s, 0) / greatest(g.n_gt, 1), 6) AS ap
+                FROM g LEFT JOIN s ON g.cls = s.cls
+            )
+            SELECT cls, ap FROM per_class
+            UNION ALL
+            SELECT '__mean__' AS cls, round(avg(ap), 6) AS ap FROM per_class
+        """,
+        "recall_at_k": """
+            WITH scored AS (
+                SELECT event_id % 50 AS img_id, value AS conf,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS m, event_id
+                FROM events
+            ),
+            rk AS (
+                SELECT m, row_number() OVER (PARTITION BY img_id
+                                             ORDER BY conf DESC, event_id ASC) AS rk
+                FROM scored
+            ),
+            t AS (
+                SELECT sum(m) AS n_gt,
+                       sum(CASE WHEN rk <= 5 THEN m ELSE 0 END) AS hit_5,
+                       sum(CASE WHEN rk <= 20 THEN m ELSE 0 END) AS hit_20,
+                       sum(CASE WHEN rk <= 100 THEN m ELSE 0 END) AS hit_100
+                FROM rk
+            )
+            SELECT 5 AS budget, round(hit_5::double / greatest(n_gt, 1), 6) AS recall FROM t
+            UNION ALL
+            SELECT 20 AS budget, round(hit_20::double / greatest(n_gt, 1), 6) AS recall FROM t
+            UNION ALL
+            SELECT 100 AS budget, round(hit_100::double / greatest(n_gt, 1), 6) AS recall FROM t
         """,
         "char_voting": """
             WITH votes AS (

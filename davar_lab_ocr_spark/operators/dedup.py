@@ -37,31 +37,61 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    toks = tokenize(df, text_col, id_col)
-    a = toks.alias("a")
-    b = toks.alias("b")
-    c = toks.alias("c")
-    if n != 3:
-        raise ValueError("join-based shingling implemented for n=3 only")
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Narrow per-row expression (slice/transform over the split array) —
+    zero joins; the only shuffle is the final distinct. Windows keep
+    split-position adjacency: a window containing an empty token (from
+    consecutive delimiters) yields no shingle, matching the positional
+    (ord) adjacency an inverted-index formulation uses.
+    """
+    arr = F.split(F.col(text_col), " ")
+    windows = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.when(
+                F.forall(F.slice(arr, i, n), lambda t: t != ""),
+                F.concat_ws(" ", F.slice(arr, i, n)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        a.join(b, (F.col(f"a.{id_col}") == F.col(f"b.{id_col}")) & (F.col("b.ord") == F.col("a.ord") + 1))
-        .join(c, (F.col(f"a.{id_col}") == F.col(f"c.{id_col}")) & (F.col("c.ord") == F.col("a.ord") + 2))
-        .select(
-            F.col(f"a.{id_col}").alias(id_col),
-            F.concat_ws(" ", "a.tok", "b.tok", "c.tok").alias("shingle"),
-        )
+        df.select(F.col(id_col), F.explode(windows).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.0, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    threshold: float = 0.0,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard similarity >= threshold:
     (id_a, id_b, jaccard). Exact (no sketching): inverted-index
-    self-join on shingle."""
+    self-join on shingle.
+
+    ``max_shingle_df`` is the stop-shingle cap — the skew control that
+    makes the self-join survive 100 TB: a boilerplate shingle appearing
+    in d documents contributes d^2/2 join rows, so shingles with
+    doc-frequency > cap are dropped from BOTH the index and the per-doc
+    set sizes (jaccard is then over the capped shingle sets). The hot
+    set is tiny by construction (<= total_occurrences / cap keys), so it
+    anti-joins in as a broadcast.
+    """
     sh = word_shingles(df, n, text_col, id_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("x")
@@ -151,17 +181,42 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str =
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.98, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    n_bits: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above threshold (exact
-    all-pairs; for the sublinear path see similarity.lsh_buckets)."""
-    from .similarity import cosine_expr
+    """Embedding-cosine near-duplicate pairs above threshold.
 
-    a = df.alias("a")
-    b = df.alias("b")
+    Default path (the one that survives 100 TB): sign-LSH bucket the
+    vectors (similarity.bucket_key_expr), then exact cosine only within
+    each bucket — an equi-join on the bucket key, never all-pairs. At
+    threshold ~0.98 a missed pair needs a sign flip in the first
+    ``n_bits`` dimensions (a component near 0), so recall is high but
+    not exact; pass ``exact=True`` for the O(n^2) cross-join fallback
+    (small corpora / verification only).
+    """
+    from .similarity import bucket_key_expr, cosine_expr
+
+    if exact:
+        keyed = df.select(F.col(id_col), F.col(vec_col))
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    else:
+        keyed = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            bucket_key_expr(F.col(vec_col), n_bits).alias("bucket"),
+        )
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     sim = cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -116,25 +116,96 @@ def det_hmean(pairs: DataFrame, iou_thr: float = 0.5, area_prec_thr: float = 0.5
     )
 
 
+def ranked_detections(
+    scored: DataFrame,
+    conf_col: str = "conf",
+    match_col: str = "matched",
+    id_col: str | None = None,
+    n_buckets: int = 32,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Global (cum_correct, rank) in confidence-desc order WITHOUT a
+    single-partition window — the scale-safe two-phase cumsum:
+
+    1. bucket each row by deterministic confidence quantile boundaries
+       (approxQuantile is Greenwald-Khanna: no sampling randomness, so
+       the bucket id is a pure function of conf and every recomputation
+       agrees);
+    2. per-bucket window cumsum/row_number (one hash shuffle on bucket,
+       parallel across buckets);
+    3. per-bucket prefix offsets via a tiny bucket-level self-join
+       (n_buckets rows), broadcast back.
+
+    Replaces the reference's single-node sort (hmean.py compute_ap sorts
+    the whole detection list in numpy) with a plan whose widest task
+    holds ~1/n_buckets of the detections. ``id_col`` breaks confidence
+    ties deterministically. With ``group_cols`` the rank/cumsum restarts
+    per group (per-class AP): the bucket split then bounds the widest
+    task by the largest (group, quantile-slice), not the largest group.
+    """
+    groups = list(group_cols or [])
+    cols = [F.col(g) for g in groups] + [
+        F.col(conf_col).cast("double").alias("conf"),
+        F.col(match_col).cast("int").alias("m"),
+    ]
+    if id_col:
+        cols.append(F.col(id_col).alias("tid"))
+    base = scored.select(*cols)
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(base.approxQuantile("conf", probs, 0.001))) if probs else []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: b > F.col("conf")))
+    else:
+        bucket = F.lit(0)
+    base = base.withColumn("bucket", bucket)
+
+    order = [F.col("conf").desc()] + ([F.col("tid").asc()] if id_col else [])
+    w = Window.partitionBy(*groups, "bucket").orderBy(*order)
+    local = base.withColumn(
+        "cum_local", F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("rk_local", F.row_number().over(w))
+
+    stats = base.groupBy(*groups, "bucket").agg(
+        F.sum("m").alias("pm"), F.count("*").alias("pn")
+    )
+    same_group = [F.col(f"a.{g}") == F.col(f"b.{g}") for g in groups]
+    prior = F.col("b.bucket") < F.col("a.bucket")
+    for cond in same_group:
+        prior = cond & prior
+    offs = (
+        stats.alias("a")
+        .join(stats.alias("b"), prior, "left")
+        .groupBy(*[F.col(f"a.{g}").alias(g) for g in groups], F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.coalesce(F.sum("b.pm"), F.lit(0)).alias("m_off"),
+            F.coalesce(F.sum("b.pn"), F.lit(0)).alias("n_off"),
+        )
+    )
+    return local.join(F.broadcast(offs), groups + ["bucket"]).select(
+        *groups,
+        "conf",
+        "m",
+        (F.col("cum_local") + F.col("m_off")).alias("cum_correct"),
+        (F.col("rk_local") + F.col("n_off")).alias("rank"),
+    )
+
+
 def compute_ap(
     scored: DataFrame,
     conf_col: str = "conf",
     match_col: str = "matched",
     id_col: str | None = None,
     n_gt: int | None = None,
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Average precision via confidence-desc cumulative precision
-    (hmean.py compute_ap as a window cumsum). scored: one row per care
-    detection with a boolean/int match flag. ``id_col`` breaks
-    confidence ties deterministically. If n_gt is None, uses the total
-    number of matches in ``scored``."""
-    order = [F.col(conf_col).desc()] + ([F.col(id_col).asc()] if id_col else [])
-    w = Window.orderBy(*order)
-    ranked = (
-        scored.select(F.col(conf_col), F.col(match_col).cast("int").alias("m"), *( [F.col(id_col)] if id_col else [] ))
-        .withColumn("cum_correct", F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("rank", F.row_number().over(w))
-    )
+    (hmean.py compute_ap), distributed through the two-phase cumsum in
+    :func:`ranked_detections`. scored: one row per care detection with a
+    boolean/int match flag. If n_gt is None, uses the total number of
+    matches in ``scored``."""
+    ranked = ranked_detections(scored, conf_col, match_col, id_col, n_buckets)
     s = ranked.filter(F.col("m") == 1).agg(F.sum(F.col("cum_correct") / F.col("rank")).alias("s"))
     if n_gt is not None:
         return s.select(F.round(F.col("s") / F.lit(max(n_gt, 1)), 6).alias("ap"))
@@ -142,6 +213,91 @@ def compute_ap(
     return s.crossJoin(g).select(
         F.round(F.col("s") / F.greatest(F.col("g"), F.lit(1)), 6).alias("ap")
     )
+
+
+def eval_map(
+    scored: DataFrame,
+    class_col: str = "cls",
+    conf_col: str = "conf",
+    match_col: str = "matched",
+    id_col: str | None = None,
+    gt_counts: DataFrame | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-class average precision + mean AP (the VOC-style eval_map of
+    the reference's davar_custom.py:384-390, which delegates to mmdet's
+    eval_map — reimplemented as per-class two-phase ranked cumsum).
+
+    ``gt_counts``: optional (class_col, n_gt) frame giving the ground-
+    truth count per class (unmatched gt lower recall); defaults to the
+    per-class match total in ``scored``. Returns one row per class
+    (cls, ap) plus a final row cls='__mean__' carrying the mAP.
+    """
+    ranked = ranked_detections(
+        scored, conf_col, match_col, id_col, n_buckets, group_cols=[class_col]
+    )
+    s = (
+        ranked.filter(F.col("m") == 1)
+        .groupBy(class_col)
+        .agg(F.sum(F.col("cum_correct") / F.col("rank")).alias("s"))
+    )
+    if gt_counts is None:
+        gt_counts = (
+            scored.groupBy(class_col)
+            .agg(F.sum(F.col(match_col).cast("int")).alias("n_gt"))
+        )
+    per_class = (
+        gt_counts.join(s, class_col, "left")
+        .select(
+            F.col(class_col).alias("cls"),
+            F.round(
+                F.coalesce(F.col("s"), F.lit(0.0)) / F.greatest(F.col("n_gt"), F.lit(1)), 6
+            ).alias("ap"),
+        )
+    )
+    mean_row = per_class.agg(
+        F.lit("__mean__").alias("cls"), F.round(F.avg("ap"), 6).alias("ap")
+    )
+    return per_class.unionByName(mean_row)
+
+
+def eval_recalls(
+    scored: DataFrame,
+    budgets: list[int],
+    group_col: str = "img_id",
+    conf_col: str = "conf",
+    match_col: str = "matched",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Proposal recall at top-k budgets (davar_custom.py:392-396 ->
+    mmdet eval_recalls): per image, rank proposals by confidence and for
+    each budget k report the fraction of ground truth covered by a
+    matched proposal within the top k. One row per budget (budget,
+    recall). The per-image window is naturally partitioned (no global
+    sort); budgets evaluate in one pass via conditional aggregation.
+    """
+    order = [F.col(conf_col).desc()] + ([F.col(id_col).asc()] if id_col else [])
+    w = Window.partitionBy(group_col).orderBy(*order)
+    rk = scored.withColumn("rk", F.row_number().over(w))
+    m = F.col(match_col).cast("int")
+    aggs = [
+        F.sum(F.when(F.col("rk") <= k, m).otherwise(F.lit(0))).alias(f"hit_{k}")
+        for k in budgets
+    ]
+    totals = rk.agg(F.sum(m).alias("n_gt"), *aggs)
+    rows = [
+        totals.select(
+            F.lit(k).alias("budget"),
+            F.round(F.col(f"hit_{k}") / F.greatest(F.col("n_gt"), F.lit(1)), 6).alias(
+                "recall"
+            ),
+        )
+        for k in budgets
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def recognition_accuracy(df: DataFrame, pred_col: str = "pred", label_col: str = "label") -> DataFrame:

@@ -56,9 +56,10 @@ def brute_force_topk(
 
 
 def bucket_key_expr(vec_col, n_bits: int = 4) -> F.Column:
-    """Sign-LSH bucket key: concatenated signs of the first n_bits dims."""
+    """Sign-LSH bucket key: concatenated signs of the first n_bits dims.
+    Null-safe indexing: vectors shorter than n_bits pad with '0'."""
     parts = [
-        F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(F.try_element_at(vec_col, F.lit(i + 1)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(n_bits)
     ]
     return F.concat(*parts)

@@ -52,3 +52,52 @@ def test_exact_dedup_normalization(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     groups = exact_dedup_groups(df).filter(F.col("n_docs") > 1).collect()
     assert len(groups) == 1 and groups[0]["keep_id"] == 0
+
+
+def test_stop_shingle_cap_drops_boilerplate(spark):
+    # 4 docs share the boilerplate tail; two also share real content.
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (0, "quick brown fox jumps high " + boiler),
+        (1, "quick brown fox jumps high " + boiler + " x"),
+        (2, "completely different payload here " + boiler),
+        (3, "another unrelated body of text " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = {
+        (p["id_a"], p["id_b"])
+        for p in ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    capped = {
+        (p["id_a"], p["id_b"])
+        for p in ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=3).collect()
+    }
+    # the boilerplate-only links (2,3), (0,2)... vanish; the real dup stays
+    assert (0, 1) in capped
+    assert (2, 3) in uncapped and (2, 3) not in capped
+
+
+def test_shingles_respect_position_adjacency(spark):
+    # double space: no shingle spans the gap (positional adjacency)
+    from davar_lab_ocr_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([(0, "a b  c d e")], "doc_id int, text string")
+    got = {r["shingle"] for r in word_shingles(df).collect()}
+    assert got == {"c d e"}
+
+
+def test_embedding_near_dup_bucketed_vs_exact(spark):
+    rows = [
+        (0, [1.0, 0.2, 0.1, 0.3, 0.5, 0.1, 0.2, 0.4]),
+        (1, [0.999, 0.2, 0.1, 0.3, 0.5, 0.1, 0.2, 0.4]),  # near-dup of 0
+        (2, [-1.0, 0.5, -0.2, 0.1, 0.3, -0.1, 0.2, 0.6]),
+        (3, [0.1, -0.9, 0.4, -0.3, 0.2, 0.7, -0.5, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    bucketed = [(p["id_a"], p["id_b"]) for p in embedding_near_dup_pairs(df).collect()]
+    exact = [
+        (p["id_a"], p["id_b"])
+        for p in embedding_near_dup_pairs(df, exact=True).collect()
+    ]
+    assert bucketed == [(0, 1)]
+    assert exact == [(0, 1)]

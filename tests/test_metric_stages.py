@@ -104,3 +104,57 @@ def test_det_hmean_constructed_golden(spark):
     assert out["recall"] == pytest.approx(2 / 3, abs=1e-6)
     assert out["precision"] == pytest.approx(2 / 3, abs=1e-6)
     assert out["hmean"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_ranked_detections_matches_global_sort(spark):
+    # two-phase bucketed cumsum must equal the single-sort definition
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.metrics import ranked_detections
+
+    rng = np.random.default_rng(71)
+    rows = [
+        (int(i), float(rng.integers(0, 20)) / 20.0, int(rng.random() < 0.4))
+        for i in range(500)  # heavy conf ties to stress bucket boundaries
+    ]
+    df = spark.createDataFrame(rows, "event_id int, conf double, matched int")
+    got = {
+        r["rank"]: (r["m"], r["cum_correct"])
+        for r in ranked_detections(df, id_col="event_id", n_buckets=8).collect()
+    }
+    want_order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    cum = 0
+    for rank, (eid, conf, m) in enumerate(want_order, start=1):
+        cum += m
+        assert got[rank] == (m, cum), f"rank {rank}"
+
+
+def test_eval_map_per_class_and_mean(spark):
+    from davar_lab_ocr_spark.operators.metrics import eval_map
+
+    # class A: matches at ranks 1,3 -> AP = (1/1 + 2/3)/2 = 0.833333
+    # class B: match at rank 2 -> AP = (1/2)/1 = 0.5
+    rows = [
+        ("A", 0.9, 1, 0), ("A", 0.8, 0, 1), ("A", 0.7, 1, 2),
+        ("B", 0.9, 0, 3), ("B", 0.8, 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "cls string, conf double, matched int, did int")
+    got = {r["cls"]: r["ap"] for r in eval_map(df, id_col="did").collect()}
+    assert got["A"] == 0.833333
+    assert got["B"] == 0.5
+    assert got["__mean__"] == round((0.833333 + 0.5) / 2, 6)
+
+
+def test_eval_recalls_budgets(spark):
+    from davar_lab_ocr_spark.operators.metrics import eval_recalls
+
+    # img 0: matches at ranks 1 and 3; img 1: match at rank 2 -> 3 gt total
+    rows = [
+        (0, 0.9, 1, 0), (0, 0.8, 0, 1), (0, 0.7, 1, 2),
+        (1, 0.9, 0, 3), (1, 0.8, 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "img_id int, conf double, matched int, did int")
+    got = {r["budget"]: r["recall"] for r in eval_recalls(df, [1, 2, 3], id_col="did").collect()}
+    assert got[1] == round(1 / 3, 6)
+    assert got[2] == round(2 / 3, 6)
+    assert got[3] == 1.0
