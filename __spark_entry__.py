@@ -578,6 +578,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["det_hmean_fixture"] = det_hmean_fixture
 
+    def e2e_hmean_fixture(spark, sf):
+        from davar_lab_ocr_spark.schemas import EVAL_PAIRS
+
+        df = spark.createDataFrame(_e2e_fixture_rows(), schema=EVAL_PAIRS)
+        default = M.e2e_hmean(df)
+        spotting = M.e2e_hmean(df, word_spotting=True)
+        return default.select(F.lit("e2e").alias("mode"), "*").unionByName(
+            spotting.select(F.lit("word_spotting").alias("mode"), "*")
+        )
+
+    q["e2e_hmean_fixture"] = e2e_hmean_fixture
+
     def track_merge(spark, sf):
         from davar_lab_ocr_spark.operators.video import (
             make_track_fixture,
@@ -715,29 +727,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tree_f1_metric"] = tree_f1_metric
 
     def ner_decode(spark, sf):
+        # full reference decode path: CRF viterbi over emissions
+        # (learned-transition matrix forbidding invalid BIO moves), then
+        # BIO span extraction (crf.py:254-335 + span_converter.py:89-112)
         import numpy as np
 
-        from davar_lab_ocr_spark.operators.ner import ner_decode_stage
+        from davar_lab_ocr_spark.operators.ner import (
+            crf_viterbi_stage,
+            ner_decode_stage,
+        )
 
-        rng = np.random.default_rng(59)
         types = ["PER", "LOC", "ORG"]
+        vocab = ["O"] + [f"{p}-{t}" for t in types for p in ("B", "I")]
+        k = len(vocab)
+        tr = np.zeros((k, k))
+        st = np.zeros(k)
+        for j, tag in enumerate(vocab):
+            if tag.startswith("I-"):
+                st[j] = -8.0  # can't open with I-
+                for i, prev in enumerate(vocab):
+                    if prev == "O" or (prev[2:] != tag[2:] and prev != "O"):
+                        tr[i, j] = -8.0
+                # allow B-X -> I-X and I-X -> I-X
+                tr[vocab.index("B-" + tag[2:]), j] = 1.0
+                tr[vocab.index("I-" + tag[2:]), j] = 1.0
+        rng = np.random.default_rng(59)
         rows = []
         for d in range(200):
             n = int(rng.integers(3, 20))
-            tags, open_t = [], None
-            for _ in range(n):
-                r = rng.random()
-                if r < 0.25:
-                    open_t = types[int(rng.integers(0, 3))]
-                    tags.append(f"B-{open_t}")
-                elif r < 0.45 and open_t:
-                    tags.append(f"I-{open_t}")
-                else:
-                    tags.append("O")
-                    open_t = None
-            rows.append((f"ner-{d}", tags))
-        df = spark.createDataFrame(rows, "doc_id string, tags array<string>")
-        out = ner_decode_stage(df)
+            em = rng.normal(0.0, 2.0, size=(n, k)).tolist()
+            rows.append((f"ner-{d}", em))
+        df = spark.createDataFrame(rows, "doc_id string, emissions array<array<double>>")
+        out = ner_decode_stage(crf_viterbi_stage(df, tr, st, np.zeros(k), vocab))
         return out.select("doc_id", F.explode("entities").alias("e")).select(
             "doc_id", "e.etype", "e.start", "e.end"
         )
@@ -806,6 +827,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pointer_reading_order"] = pointer_reading_order
 
     return q
+
+
+def _e2e_fixture_rows():
+    """Detection-eval fixture with transcriptions exercising every
+    e2e matching rule: GT-side first/last special characters, 's
+    terminations, dictionary-ineligible words (short / digit-bearing),
+    wrong predictions, and don't-care overlaps."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    words = ["apple", "banana", "cherry", "dog's", "ab", "a1b2", "-dash-", "orange"]
+    rows = []
+    for d in range(30):
+        gt, pred = [], []
+        for i in range(int(rng.integers(2, 7))):
+            x0, y0 = float(rng.integers(0, 400)), float(rng.integers(0, 400))
+            w, h = float(rng.integers(40, 90)), float(rng.integers(18, 40))
+            poly = [x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h]
+            word = words[int(rng.integers(0, len(words)))]
+            deco = rng.random()
+            gt_text = f"({word}" if deco < 0.2 else f"{word}." if deco < 0.4 else word
+            care = 0 if rng.random() < 0.1 else 1
+            gt.append({"poly": poly, "care": care, "text": "###" if care == 0 else gt_text})
+            r = rng.random()
+            if r < 0.65:  # true positive, bare word (strip rules must fire)
+                pred.append({"poly": list(poly), "conf": float(rng.random()), "text": word})
+            elif r < 0.8:  # matched box, wrong transcription
+                pred.append({"poly": list(poly), "conf": float(rng.random()), "text": "zzz"})
+            elif r < 0.9:  # far-away false positive
+                fx, fy = float(rng.integers(500, 900)), float(rng.integers(500, 900))
+                pred.append(
+                    {
+                        "poly": [fx, fy, fx + 40, fy, fx + 40, fy + 20, fx, fy + 20],
+                        "conf": float(rng.random()),
+                        "text": "fp",
+                    }
+                )
+        rows.append({"doc_id": f"e2e-{d}", "pred": pred, "gt": gt})
+    return rows
 
 
 def _eval_fixture_rows():

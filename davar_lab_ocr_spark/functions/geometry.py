@@ -386,3 +386,58 @@ def recon_largecell(bboxlist: list, celllist: list) -> list:
             ]
         )
     return out
+
+
+def convex_hull_points(pts: np.ndarray) -> np.ndarray:
+    """Convex hull (Andrew monotone chain, CCW, no duplicate endpoint)
+    of an (N, 2) point set — public-knowledge algorithm."""
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort by (x, y)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(points):
+        chain: list[np.ndarray] = []
+        for p in points:
+            while len(chain) >= 2 and np.cross(chain[-1] - chain[-2], p - chain[-2]) <= 0:
+                chain.pop()
+            chain.append(p)
+        return chain
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(pts: np.ndarray) -> np.ndarray:
+    """Minimum-area enclosing rectangle via rotating calipers: the
+    optimal rectangle has one side collinear with a hull edge, so it
+    suffices to scan hull-edge directions. Pure-numpy replacement for
+    cv2.minAreaRect + cv2.boxPoints (post_mask_rcnn.py:56-59). Returns
+    the 4 corners (4, 2) ordered CCW starting from the corner closest
+    to (min_y, min_x)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    hull = convex_hull_points(pts)
+    if len(hull) == 1:
+        return np.repeat(hull, 4, axis=0)
+    if len(hull) == 2:
+        a, b = hull
+        return np.asarray([a, b, b, a])
+    edges = np.roll(hull, -1, axis=0) - hull
+    angles = np.arctan2(edges[:, 1], edges[:, 0])
+    best = None
+    for theta in np.unique(np.mod(angles, np.pi / 2)):
+        c, s = np.cos(theta), np.sin(theta)
+        rot = np.array([[c, s], [-s, c]])  # rotate by -theta
+        proj = hull @ rot.T
+        x0, y0 = proj.min(axis=0)
+        x1, y1 = proj.max(axis=0)
+        area = (x1 - x0) * (y1 - y0)
+        if best is None or area < best[0] - 1e-12:
+            corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]) @ rot
+            best = (area, corners)
+    corners = best[1]
+    start = int(np.lexsort((corners[:, 0], corners[:, 1]))[0])
+    return np.roll(corners, -start, axis=0)

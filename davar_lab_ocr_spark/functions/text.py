@@ -128,3 +128,93 @@ def attn_encode(text: str, rng: np.random.Generator, max_t: int = 26) -> list[in
     for _ in range(n_garbage):
         ids.append(int(rng.integers(2, len(ATTN_CHARSET))))
     return ids[:max_t]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end spotting transcription rules
+# (semantics: davarocr/davar_spotting/core/evaluation/e2e_hmean.py:111-234)
+# ---------------------------------------------------------------------------
+E2E_SPECIAL_CHARACTERS = "!?.:,*\"()·[]/'"
+E2E_MIN_LENGTH_CARE_WORD = 3
+
+# dictionary-eligible codepoint ranges: basic latin letters, latin
+# supplement/extended, greek, plus '-'
+_DICT_RANGES = (
+    (ord("a"), ord("z")),
+    (ord("A"), ord("Z")),
+    (ord("À"), ord("ǿ")),   # À..ƿ
+    (ord("Ǆ"), ord("ɿ")),   # Ǆ..ɿ
+    (ord("Ά"), ord("Ͽ")),   # Ά..Ͽ
+    (ord("-"), ord("-")),
+)
+_DICT_FORBIDDEN = "×÷·"  # × ÷ ·
+
+
+def transcription_match(
+    gt: str,
+    det: str,
+    special_characters: str = E2E_SPECIAL_CHARACTERS,
+    only_remove_first_last_gt: bool = True,
+) -> bool:
+    """Transcription equality with the IC15 special-character tolerance
+    (e2e_hmean.py:111-157): in the default mode a special character is
+    forgiven only at the first/last position of the GT; otherwise both
+    strings are stripped of leading/trailing specials iteratively."""
+    if only_remove_first_last_gt:
+        if gt == det:
+            return True
+        head = bool(gt) and gt[0] in special_characters
+        tail = bool(gt) and gt[-1] in special_characters
+        if head and gt[1:] == det:
+            return True
+        if tail and gt[:-1] == det:
+            return True
+        if head and tail and gt[1:-1] == det:
+            return True
+        return False
+    while gt and gt[0] in special_characters:
+        gt = gt[1:]
+    while det and det[0] in special_characters:
+        det = det[1:]
+    while gt and gt[-1] in special_characters:
+        gt = gt[:-1]
+    while det and det[-1] in special_characters:
+        det = det[:-1]
+    return gt == det
+
+
+def _strip_word_endings(transcription: str, special_characters: str) -> str:
+    if transcription[-2:] in ("'s", "'S"):
+        transcription = transcription[:-2]
+    transcription = transcription.strip("-")
+    for ch in special_characters:
+        transcription = transcription.replace(ch, " ")
+    return transcription.strip()
+
+
+def include_in_dictionary(
+    transcription: str,
+    special_characters: str = E2E_SPECIAL_CHARACTERS,
+    min_length: int = E2E_MIN_LENGTH_CARE_WORD,
+) -> bool:
+    """Word-spotting dictionary eligibility (e2e_hmean.py:159-210): a GT
+    word failing these rules is demoted to don't-care."""
+    t = _strip_word_endings(transcription, special_characters)
+    if " " in t:
+        return False
+    if len(t) < min_length:
+        return False
+    for ch in t:
+        if ch in _DICT_FORBIDDEN:
+            return False
+        if not any(lo <= ord(ch) <= hi for lo, hi in _DICT_RANGES):
+            return False
+    return True
+
+
+def dictionary_transcription(
+    transcription: str, special_characters: str = E2E_SPECIAL_CHARACTERS
+) -> str:
+    """GT transcription normalization applied before word-spotting
+    comparison (e2e_hmean.py:212-234)."""
+    return _strip_word_endings(transcription, special_characters)

@@ -94,6 +94,159 @@ def det_match_stage(pairs: DataFrame, iou_thr: float = 0.5, area_prec_thr: float
     return pairs.mapInPandas(run, schema=_MATCH_SCHEMA)
 
 
+_E2E_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("matched_det", T.IntegerType()),
+        T.StructField("matched_spot", T.IntegerType()),
+        T.StructField("care_det", T.IntegerType()),
+        T.StructField("care_gt", T.IntegerType()),
+    ]
+)
+
+
+def _e2e_match_one_doc(
+    doc_id: str,
+    pred,
+    gt,
+    iou_thr=0.5,
+    area_prec_thr=0.5,
+    word_spotting=False,
+    only_remove_first_last=True,
+):
+    """Greedy 1-1 match (gt, det index order) counting BOTH detection
+    matches and transcription-correct matches — the end-to-end spotting
+    evaluation (e2e_hmean.py:236-341). Word-spotting mode demotes
+    dictionary-ineligible GT words to don't-care and normalizes the GT
+    transcription before comparison; otherwise the IC15 first/last
+    special-character tolerance applies."""
+    from ..functions.text import (
+        dictionary_transcription,
+        include_in_dictionary,
+        transcription_match,
+    )
+
+    gt_polys = [np.asarray(g["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for g in gt]
+    det_polys = [
+        np.asarray(d["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for d in pred
+    ]
+    gt_texts = [g["text"] or "" for g in gt]
+    det_texts = [d["text"] or "" for d in pred]
+
+    dontcare_gt = set()
+    for i, g in enumerate(gt):
+        dc = (g["care"] == 0) or (gt_texts[i] == "###")
+        if word_spotting and not dc:
+            if not include_in_dictionary(gt_texts[i]):
+                dc = True
+            else:
+                gt_texts[i] = dictionary_transcription(gt_texts[i])
+        if dc:
+            dontcare_gt.add(i)
+
+    dontcare_det = set()
+    for j, dp in enumerate(det_polys):
+        d_area = poly_area(dp)
+        for i in dontcare_gt:
+            inter = convex_poly_intersection_area(dp, gt_polys[i])
+            prec = 0.0 if d_area == 0 else inter / d_area
+            if prec > area_prec_thr:
+                dontcare_det.add(j)
+                break
+
+    gt_used = np.zeros(len(gt_polys), dtype=bool)
+    det_used = np.zeros(len(det_polys), dtype=bool)
+    matched_det = matched_spot = 0
+    for i in range(len(gt_polys)):
+        for j in range(len(det_polys)):
+            if (
+                not gt_used[i]
+                and not det_used[j]
+                and i not in dontcare_gt
+                and j not in dontcare_det
+                and poly_iou(gt_polys[i], det_polys[j]) > iou_thr
+            ):
+                gt_used[i] = True
+                det_used[j] = True
+                matched_det += 1
+                if word_spotting:
+                    correct = gt_texts[i].upper() == det_texts[j].upper()
+                else:
+                    correct = transcription_match(
+                        gt_texts[i].upper(),
+                        det_texts[j].upper(),
+                        only_remove_first_last_gt=only_remove_first_last,
+                    )
+                matched_spot += int(correct)
+    return {
+        "doc_id": doc_id,
+        "matched_det": matched_det,
+        "matched_spot": matched_spot,
+        "care_det": len(det_polys) - len(dontcare_det),
+        "care_gt": len(gt_polys) - len(dontcare_gt),
+    }
+
+
+def e2e_match_stage(
+    pairs: DataFrame,
+    iou_thr: float = 0.5,
+    area_prec_thr: float = 0.5,
+    word_spotting: bool = False,
+    only_remove_first_last: bool = True,
+) -> DataFrame:
+    """eval_pairs rows -> per-doc e2e match counts (det + spot)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                _e2e_match_one_doc(
+                    d, p, g, iou_thr, area_prec_thr, word_spotting, only_remove_first_last
+                )
+                for d, p, g in zip(pdf["doc_id"], pdf["pred"], pdf["gt"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "matched_det", "matched_spot", "care_det", "care_gt"]
+            )
+
+    return pairs.mapInPandas(run, schema=_E2E_MATCH_SCHEMA)
+
+
+def e2e_hmean(
+    pairs: DataFrame,
+    iou_thr: float = 0.5,
+    area_prec_thr: float = 0.5,
+    word_spotting: bool = False,
+    only_remove_first_last: bool = True,
+) -> DataFrame:
+    """Corpus end-to-end spotting metrics — one row with det_precision /
+    det_recall / det_hmean / spot_precision / spot_recall / spot_hmean
+    (e2e_hmean.py:343-357)."""
+    per_doc = e2e_match_stage(pairs, iou_thr, area_prec_thr, word_spotting, only_remove_first_last)
+    agg = per_doc.agg(
+        F.sum("matched_det").alias("md"),
+        F.sum("matched_spot").alias("ms"),
+        F.sum("care_det").alias("d"),
+        F.sum("care_gt").alias("g"),
+    )
+
+    def prh(m):
+        p = F.when(F.col("d") > 0, F.col(m) / F.col("d")).otherwise(F.lit(0.0))
+        r = F.when(F.col("g") > 0, F.col(m) / F.col("g")).otherwise(F.lit(0.0))
+        h = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+        return p, r, h
+
+    dp, dr, dh = prh("md")
+    sp, sr, sh = prh("ms")
+    return agg.select(
+        F.round(dp, 6).alias("det_precision"),
+        F.round(dr, 6).alias("det_recall"),
+        F.round(dh, 6).alias("det_hmean"),
+        F.round(sp, 6).alias("spot_precision"),
+        F.round(sr, 6).alias("spot_recall"),
+        F.round(sh, 6).alias("spot_hmean"),
+    )
+
+
 def det_hmean(pairs: DataFrame, iou_thr: float = 0.5, area_prec_thr: float = 0.5) -> DataFrame:
     """Corpus P/R/Hmean — one row (precision, recall, hmean)."""
     per_doc = det_match_stage(pairs, iou_thr, area_prec_thr)

@@ -14,6 +14,7 @@ explosion for metrics is plain SQL afterwards.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
@@ -37,6 +38,75 @@ def bio_decode_py(tags: list[str]) -> list[tuple[str, int, int]]:
     if cur_type is not None:
         entities.append((cur_type, cur_start, len(tags)))
     return entities
+
+
+def viterbi_decode_py(
+    emissions: np.ndarray,
+    transitions: np.ndarray,
+    start_transitions: np.ndarray,
+    end_transitions: np.ndarray,
+) -> list[int]:
+    """Max-score tag path through a linear-chain CRF.
+
+    Semantics: davarocr/davar_ner/models/decoders/layers/crf.py:254-335
+    (_viterbi_decode) — path score = start[t0] + sum(emission[i, t_i])
+    + sum(transitions[t_{i-1}, t_i]) + end[t_last]; forward max-product
+    with backpointers, then trace-back. Vectorized over tags per step.
+    """
+    emissions = np.asarray(emissions, dtype=np.float64)
+    n_steps = emissions.shape[0]
+    score = start_transitions + emissions[0]
+    history = np.zeros((max(n_steps - 1, 0), emissions.shape[1]), dtype=np.int64)
+    for i in range(1, n_steps):
+        # next[j, k] = best path ending in j, transitioning to k, emitting k
+        nxt = score[:, None] + transitions + emissions[i][None, :]
+        history[i - 1] = nxt.argmax(axis=0)
+        score = nxt.max(axis=0)
+    best = int(np.argmax(score + end_transitions))
+    path = [best]
+    for i in range(n_steps - 2, -1, -1):
+        path.append(int(history[i][path[-1]]))
+    return path[::-1]
+
+
+def crf_viterbi_stage(
+    df: DataFrame,
+    transitions: np.ndarray,
+    start_transitions: np.ndarray,
+    end_transitions: np.ndarray,
+    tag_vocab: list[str],
+    emissions_col: str = "emissions",
+    out_col: str = "tags",
+) -> DataFrame:
+    """(..., emissions array<array<double>> [T x K]) -> + tags
+    array<string>: the learned-transition CRF decode that fronts the
+    reference's NER head. Transition matrices are small model weights —
+    closure-captured per batch (the Spark-idiomatic broadcast for
+    kilobyte constants); decode is per-row but Arrow-batched, and the
+    per-step max-product is vectorized over the tag dimension."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+    trans = np.asarray(transitions, dtype=np.float64)
+    start = np.asarray(start_transitions, dtype=np.float64)
+    end = np.asarray(end_transitions, dtype=np.float64)
+
+    def run(batches):
+        for batch in batches:
+            ems = batch.column(emissions_col).to_pylist()
+            tag_rows = [
+                [tag_vocab[t] for t in viterbi_decode_py(np.asarray(e), trans, start, end)]
+                if e
+                else []
+                for e in ems
+            ]
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(tag_rows, type=pa.list_(pa.string()))],
+                names=list(batch.schema.names) + [out_col],
+            )
+
+    return df.mapInArrow(run, schema=out_schema)
 
 
 ENTITY_TYPE = T.ArrayType(

@@ -47,9 +47,17 @@ def connected_components(seg: np.ndarray) -> np.ndarray:
     return labels
 
 
-def mask_to_quads(seg: np.ndarray, min_area: int = 1) -> list[tuple[list[float], int]]:
-    """Components -> [(axis-aligned quad, pixel area)], largest first
-    (the reference keeps the max-area contour per mask)."""
+def mask_to_quads(
+    seg: np.ndarray, min_area: int = 1, rotated: bool = False
+) -> list[tuple[list[float], int]]:
+    """Components -> [(quad, pixel area)], largest first (the reference
+    keeps the max-area contour per mask). ``rotated=False`` (the
+    reference's use_rotated_box default, post_mask_rcnn.py:23) emits the
+    axis-aligned bounding quad; ``rotated=True`` emits the minimum-area
+    rotated rectangle (cv2.minAreaRect + boxPoints semantics,
+    post_mask_rcnn.py:56-59) via pure-numpy rotating calipers."""
+    from ..functions.geometry import min_area_rect
+
     labels = connected_components(seg)
     out = []
     for k in range(1, labels.max() + 1):
@@ -57,9 +65,13 @@ def mask_to_quads(seg: np.ndarray, min_area: int = 1) -> list[tuple[list[float],
         area = len(ys)
         if area < min_area:
             continue
-        x0, x1 = float(xs.min()), float(xs.max())
-        y0, y1 = float(ys.min()), float(ys.max())
-        out.append(([x0, y0, x1, y0, x1, y1, x0, y1], area))
+        if rotated:
+            corners = min_area_rect(np.stack([xs, ys], axis=1))
+            out.append(([float(v) for v in corners.reshape(-1)], area))
+        else:
+            x0, x1 = float(xs.min()), float(xs.max())
+            y0, y1 = float(ys.min()), float(ys.max())
+            out.append(([x0, y0, x1, y0, x1, y1, x0, y1], area))
     out.sort(key=lambda t: -t[1])
     return out
 

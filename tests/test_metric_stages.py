@@ -158,3 +158,51 @@ def test_eval_recalls_budgets(spark):
     assert got[1] == round(1 / 3, 6)
     assert got[2] == round(2 / 3, 6)
     assert got[3] == 1.0
+
+
+def test_viterbi_matches_brute_force():
+    import itertools
+
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.ner import viterbi_decode_py
+
+    rng = np.random.default_rng(97)
+    for trial in range(20):
+        k, t = 3, int(rng.integers(1, 6))
+        em = rng.normal(size=(t, k))
+        tr = rng.normal(size=(k, k))
+        st = rng.normal(size=k)
+        en = rng.normal(size=k)
+
+        def score(path):
+            s = st[path[0]] + em[0, path[0]] + en[path[-1]]
+            for i in range(1, t):
+                s += tr[path[i - 1], path[i]] + em[i, path[i]]
+            return s
+
+        want = max(itertools.product(range(k), repeat=t), key=score)
+        got = tuple(viterbi_decode_py(em, tr, st, en))
+        assert score(got) == score(want), f"trial {trial}"
+
+
+def test_crf_viterbi_stage_chains_into_bio(spark):
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.ner import crf_viterbi_stage, ner_decode_stage
+
+    vocab = ["O", "B-PER", "I-PER"]
+    # transitions forbid O -> I-PER and B -> B, reward B -> I
+    tr = np.array([[0.0, 0.0, -9.0], [-1.0, -9.0, 2.0], [0.0, 0.0, 0.0]])
+    st = np.array([0.0, 0.0, -9.0])
+    en = np.zeros(3)
+    # emissions ambiguous at step 1: I-PER only reachable via B-PER
+    em = [[0.0, 3.0, 0.0], [0.0, 0.0, 1.0], [2.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [("d0", em)], "doc_id string, emissions array<array<double>>"
+    )
+    out = crf_viterbi_stage(df, tr, st, en, vocab)
+    decoded = ner_decode_stage(out)
+    row = decoded.collect()[0]
+    assert row["tags"] == ["B-PER", "I-PER", "O"]
+    assert [(e["etype"], e["start"], e["end"]) for e in row["entities"]] == [("PER", 0, 2)]

@@ -73,3 +73,40 @@ def test_seg_group_stage(spark):
     assert len(out["quads"]) == 2
     areas = sorted(q["area"] for q in out["quads"])
     assert areas == [6, 6]
+
+
+def test_min_area_rect_brute_force_sweep():
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.geometry import min_area_rect
+
+    rng = np.random.default_rng(13)
+    for t in range(20):
+        pts = rng.normal(size=(int(rng.integers(3, 30)), 2)) * 8
+        r = min_area_rect(pts)
+        area = abs(float(np.cross(r[1] - r[0], r[3] - r[0])))
+        best = min(
+            float(np.prod((pts @ np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])).max(0)
+                          - (pts @ np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])).min(0)))
+            for a in np.arange(0, np.pi / 2, 0.001)
+        )
+        assert area <= best + 1e-6
+
+
+def test_mask_to_quads_rotated_diagonal_bar():
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.spotting import mask_to_quads
+
+    # a 45-degree diagonal bar: rotated rect is much tighter than bbox
+    seg = np.zeros((40, 40), dtype=bool)
+    for i in range(30):
+        seg[i : i + 3, i : i + 3] = True
+    (quad_aa, _), = mask_to_quads(seg)
+    (quad_rot, _), = mask_to_quads(seg, rotated=True)
+
+    def quad_area(q):
+        p = np.asarray(q).reshape(-1, 2)
+        return abs(float(np.cross(p[1] - p[0], p[3] - p[0])))
+
+    assert quad_area(quad_rot) < 0.5 * quad_area(quad_aa)
