@@ -643,6 +643,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_decode"] = media_decode
 
+    def media_transform(spark, sf):
+        from davar_lab_ocr_spark.operators.multimodal import (
+            fetch_media_stage,
+            transform_media_stage,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        refs = d.select(
+            F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit(".png")).alias(
+                "media_ref"
+            ),
+            F.array(
+                F.lit(4.0), F.lit(4.0), F.lit(28.0), F.lit(6.0),
+                F.lit(27.0), F.lit(20.0), F.lit(3.0), F.lit(18.0),
+            ).alias("quad"),
+        )
+        out = transform_media_stage(fetch_media_stage(refs), quad_col="quad")
+        return out.select("media_ref", "t_height", "t_width", "t_mean", "t_digest")
+
+    q["media_transform"] = media_transform
+
     def resumable_extract(spark, sf):
         import tempfile
 
@@ -1371,6 +1392,32 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY dist ASC, lex ASC) AS rk
                 FROM cand
             ) WHERE rk = 1
+        """,
+        # media metadata decode: the fake-fetch header is md5 arithmetic
+        # DuckDB reproduces bit-for-bit; resize arithmetic is plain math
+        "media_decode": """
+            WITH refs AS (
+                SELECT 'media://doc/' || CAST(doc_id AS varchar) || '.png' AS media_ref
+                FROM documents WHERE doc_id < 200
+            ),
+            meta AS (
+                SELECT media_ref,
+                       32 + ('0x' || substr(md5(media_ref), 1, 2))::int % 96 AS m_height,
+                       32 + ('0x' || substr(md5(media_ref), 3, 2))::int % 96 AS m_width,
+                       1 + ('0x' || substr(md5(media_ref), 5, 2))::int % 3 AS m_channels
+                FROM refs
+            ),
+            scaled AS (
+                SELECT *,
+                       least(1280.0 / greatest(m_height, m_width),
+                             720.0 / least(m_height, m_width)) AS scale
+                FROM meta
+            )
+            SELECT media_ref, m_height, m_width, m_channels,
+                   CAST(round(m_height * scale) AS int) AS resized_h,
+                   CAST(round(m_width * scale) AS int) AS resized_w,
+                   round(scale, 8) AS scale_factor
+            FROM scaled
         """,
         # fixture oracles: expected outputs derived by the independent
         # pure-python second implementations (see

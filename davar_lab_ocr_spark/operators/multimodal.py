@@ -3,11 +3,14 @@
 Media travel as opaque ``binary`` columns (or ``media_ref`` pointers)
 with typed metadata, mirroring the reference's image source
 (DavarLoadImageFromFile, davar_loading.py:26-88) and crop/transform
-utils (loading_utils.py:105-200). The image/audio codecs are NOT in
-this container, so the decode step is stubbed behind a deterministic
-fake (or NotImplementedError in strict mode) — the Spark-side
-contract (schema, batch shape, partitioning, UDF signature) is real
-and tested:
+utils (loading_utils.py:105-200). The png/jpeg CODECS are not in this
+container, so payloads are deterministic fake fetches carrying a raw
+(h, w, c) header + uncompressed pixel bytes (NotImplementedError in
+strict mode marks where the codec call would go) — but the pixel
+KERNELS (quad crop, perspective rectification, bilinear resize) are
+real pure-numpy implementations (functions/image.py), and the
+Spark-side contract (schema, batch shape, partitioning, UDF signature)
+is real and tested:
 
 - fetch_media:    media_ref -> binary payload (deterministic fake
                   fetcher; at scale this is the object-store read
@@ -37,16 +40,30 @@ STRICT = False  # True -> decode raises NotImplementedError (no codecs here)
 
 
 def fake_payload(media_ref: str) -> bytes:
-    """Deterministic stand-in for an object-store fetch: 64 pseudo-random
-    bytes seeded by the ref, prefixed with a fake 8-byte header carrying
-    (h, w, c) so decode_media has something real to parse."""
+    """Deterministic stand-in for an object-store fetch: an 8-byte
+    header carrying (h, w, c) followed by the full h*w*c uncompressed
+    pixel buffer, pseudo-randomly seeded by the ref — so decode and the
+    downstream pixel kernels have a real image-shaped array to work on."""
     digest = hashlib.md5(media_ref.encode()).digest()
     h = 32 + digest[0] % 96
     w = 32 + digest[1] % 96
     c = 1 + digest[2] % 3
     header = bytes([h, w, c]) + b"\x00" * 5
     rng = np.random.default_rng(int.from_bytes(digest[:4], "little"))
-    return header + rng.integers(0, 256, size=61, dtype=np.uint8).tobytes()
+    return header + rng.integers(0, 256, size=h * w * c, dtype=np.uint8).tobytes()
+
+
+def payload_to_array(payload: bytes) -> np.ndarray | None:
+    """Parse a fetched payload into an (h, w, c) uint8 array. This is
+    the codec boundary: for real png/jpeg bytes an imdecode call would
+    replace the reshape."""
+    if payload is None or len(payload) < 8:
+        return None
+    h, w, c = payload[0], payload[1], payload[2]
+    body = np.frombuffer(payload, dtype=np.uint8, offset=8)
+    if body.size < h * w * c:
+        return None
+    return body[: h * w * c].reshape(h, w, c)
 
 
 def fetch_media_stage(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
@@ -97,6 +114,69 @@ def decode_media_stage(df: DataFrame, payload_col: str = "payload") -> DataFrame
                     pa.array(cs, type=pa.int32()),
                 ],
                 names=list(batch.schema.names) + ["m_height", "m_width", "m_channels"],
+            )
+
+    return df.mapInArrow(run, schema=out_schema)
+
+
+def transform_media_stage(
+    df: DataFrame,
+    payload_col: str = "payload",
+    quad_col: str | None = None,
+    out_h: int = 32,
+    out_w: int = 100,
+) -> DataFrame:
+    """Recognition input prep: decode pixels, quad-crop + perspective
+    rectify (crop_and_transform, loading_utils.py:105-146), bilinear
+    resize to the recognizer's fixed input shape (ResizeNormalize
+    semantics) — all pure numpy inside one Arrow batch pass. Emits
+    (t_height, t_width, t_mean, t_digest): shape, mean pixel value, and
+    an md5 of the resized buffer so tests can assert bit-exactness
+    without carrying pixels through the plan. ``quad_col`` (optional
+    array<double> of 8) selects the crop; None rectifies the full frame.
+    """
+    from ..functions.image import crop_and_transform, resize_bilinear
+
+    meta_fields = [
+        T.StructField("t_height", T.IntegerType()),
+        T.StructField("t_width", T.IntegerType()),
+        T.StructField("t_mean", T.DoubleType()),
+        T.StructField("t_digest", T.StringType()),
+    ]
+    out_schema = T.StructType(df.schema.fields + meta_fields)
+
+    def run(batches):
+        if STRICT:
+            raise NotImplementedError("image codecs unavailable in this environment")
+        for batch in batches:
+            payloads = batch.column(payload_col).to_pylist()
+            quads = batch.column(quad_col).to_pylist() if quad_col else [None] * len(payloads)
+            hs, ws, means, digests = [], [], [], []
+            for p, q in zip(payloads, quads):
+                img = payload_to_array(p)
+                if img is None:
+                    hs.append(None), ws.append(None), means.append(None), digests.append(None)
+                    continue
+                if q is None:
+                    h, w = img.shape[:2]
+                    q = [0.0, 0.0, float(w), 0.0, float(w), float(h), 0.0, float(h)]
+                patch = crop_and_transform(img, q)
+                resized = resize_bilinear(patch, out_h, out_w)
+                buf = np.ascontiguousarray(np.round(resized).astype(np.uint8))
+                hs.append(out_h)
+                ws.append(out_w)
+                means.append(round(float(buf.mean()), 6))
+                digests.append(hashlib.md5(buf.tobytes()).hexdigest())
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            yield pa.RecordBatch.from_arrays(
+                arrays
+                + [
+                    pa.array(hs, type=pa.int32()),
+                    pa.array(ws, type=pa.int32()),
+                    pa.array(means, type=pa.float64()),
+                    pa.array(digests, type=pa.string()),
+                ],
+                names=list(batch.schema.names) + ["t_height", "t_width", "t_mean", "t_digest"],
             )
 
     return df.mapInArrow(run, schema=out_schema)
