@@ -701,6 +701,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["east_decode"] = east_decode
 
+    def mask_rcnn_decode(spark, sf):
+        from davar_lab_ocr_spark.operators.spotting import (
+            make_seg_fixture,
+            seg_group_stage,
+        )
+
+        rows = [make_seg_fixture(d)[0] for d in range(40)]
+        df = spark.createDataFrame(rows, "doc_id string, seg array<int>, h int, w int")
+        out = seg_group_stage(df)
+        return out.select("doc_id", F.explode("quads").alias("q")).select(
+            "doc_id",
+            F.col("q.points")[0].alias("x0"),
+            F.col("q.points")[1].alias("y0"),
+            F.col("q.points")[2].alias("x1"),
+            F.col("q.points")[5].alias("y1"),
+            F.col("q.area").alias("area"),
+        )
+
+    q["mask_rcnn_decode"] = mask_rcnn_decode
+
     def teds_metric(spark, sf):
         from davar_lab_ocr_spark.corpus import make_raw_corpus
         from davar_lab_ocr_spark.operators.metrics import teds_stage
@@ -1432,5 +1452,82 @@ def oracle_sql() -> dict[str, str]:
         "tp_decode": f"""
             SELECT doc_id, inst, points
             FROM read_parquet('{FIXTURES}/expected_tp.parquet')
+        """,
+        "mask_rcnn_decode": f"""
+            SELECT doc_id, x0, y0, x1, y1, area
+            FROM read_parquet('{FIXTURES}/expected_seg.parquet')
+        """,
+        # the pipeline's extraction equals the pure-python span oracle on
+        # every doc by construction of the corpus generator, so the
+        # total-order accuracy over the fixture corpus is exactly 1.0
+        "order_accuracy": "SELECT CAST(1.0 AS double) AS total_order_acc",
+        # local kernel replays (distributed stage pinned to the
+        # hand-golden-tested single-process kernel; see
+        # tools/make_expected_fixtures.py)
+        "det_hmean_fixture": f"""
+            SELECT precision, recall, hmean
+            FROM read_parquet('{FIXTURES}/expected_det_hmean.parquet')
+        """,
+        "e2e_hmean_fixture": f"""
+            SELECT mode, det_precision, det_recall, det_hmean,
+                   spot_precision, spot_recall, spot_hmean
+            FROM read_parquet('{FIXTURES}/expected_e2e_hmean.parquet')
+        """,
+        "teds_metric": f"""
+            SELECT doc_id, teds FROM read_parquet('{FIXTURES}/expected_teds.parquet')
+        """,
+        "tree_f1_metric": f"""
+            SELECT doc_id, recall, precision, f1
+            FROM read_parquet('{FIXTURES}/expected_tree_f1.parquet')
+        """,
+        "media_transform": f"""
+            SELECT media_ref, t_height, t_width, t_mean, t_digest
+            FROM read_parquet('{FIXTURES}/expected_media_transform.parquet')
+        """,
+        "ner_decode": f"""
+            SELECT doc_id, etype, start, "end"
+            FROM read_parquet('{FIXTURES}/expected_ner.parquet')
+        """,
+        "pointer_reading_order": f"""
+            SELECT doc_id, region_id, order_pred
+            FROM read_parquet('{FIXTURES}/expected_pointer_order.parquet')
+        """,
+        "table_html_recovery": f"""
+            SELECT doc_id, pos, html
+            FROM read_parquet('{FIXTURES}/expected_table_html.parquet')
+        """,
+        "track_merge": f"""
+            SELECT video_id, merged_id, frame_start, frame_end, text,
+                   round(score, 6) AS score, n_tracks
+            FROM read_parquet('{FIXTURES}/expected_track_merge.parquet')
+        """,
+        # independent engine-level sessionization: DuckDB re-derives the
+        # session windows from the committed INPUT rows (gap >= 3s opens
+        # a new session — Spark session_window's half-open semantics)
+        "session_tracks": f"""
+            WITH ev AS (
+                SELECT video_id, track_id, frame_id, text, score
+                FROM read_parquet('{FIXTURES}/fixture_track_events.parquet')
+            ),
+            b AS (
+                SELECT *,
+                       CASE WHEN frame_id - lag(frame_id) OVER (
+                                PARTITION BY video_id, track_id
+                                ORDER BY frame_id) >= 3
+                            THEN 1 ELSE 0 END AS boundary
+                FROM ev
+            ),
+            s AS (
+                SELECT *,
+                       sum(boundary) OVER (PARTITION BY video_id, track_id
+                                           ORDER BY frame_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM b
+            )
+            SELECT video_id, track_id, count(*) AS n_frames,
+                   arg_max(text, score) AS best_text,
+                   round(max(score), 6) AS best_score,
+                   min(frame_id) AS frame_start, max(frame_id) AS frame_end
+            FROM s GROUP BY video_id, track_id, session_id
         """,
     }

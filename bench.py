@@ -49,6 +49,8 @@ HEADLINE = [
     "iou_match_join",
     "sessionize",
     "ap_sweep",
+    "map_sweep",
+    "recall_at_k",
     "char_voting",
 ]
 

@@ -61,7 +61,7 @@ def pointer_order_py(boxes: np.ndarray) -> list[int]:
         return []
     ys, xs = boxes[:, 1], boxes[:, 0]
     visited = np.zeros(n, dtype=bool)
-    order = np.empty(n, dtype=np.int64)
+    order = np.zeros(n, dtype=np.int64)
     cur = int(np.lexsort((xs, ys))[0])
     for step in range(n):
         order[cur] = step
@@ -70,7 +70,12 @@ def pointer_order_py(boxes: np.ndarray) -> list[int]:
             break
         dy = ys - ys[cur]
         dx = xs - xs[cur]
-        cost = np.where(dy >= 0, dy * 2 + np.abs(dx), 1e18) + np.where(visited, 1e18, 0.0)
+        # boxes above the scan point keep a large-but-finite penalty so
+        # the walk can resume there; visited boxes must be strictly
+        # worse (inf), otherwise an all-above step ties with the
+        # current box itself and argmin revisits it
+        cost = np.where(dy >= 0, dy * 2 + np.abs(dx), 1e18)
+        cost[visited] = np.inf
         cur = int(np.argmin(cost))
     return order.tolist()
 

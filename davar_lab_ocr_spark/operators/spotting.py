@@ -4,10 +4,10 @@
   (davarocr/davar_spotting/core/post_processing/post_mango.py:214 /
   lib/bfs_search.cpp) — plain 4-connectivity labeling in numpy/python.
 - mask_to_quads: Mask-RCNN-style mask -> region polygon
-  (post_mask_rcnn.py:35-68). cv2 is unavailable here, so components
-  emit their axis-aligned bounding quad instead of minAreaRect /
-  approxPolyDP (documented deviation; the Spark plumbing and the
-  area-max selection are faithful).
+  (post_mask_rcnn.py:35-68): axis-aligned bounding quad by default
+  (the reference's use_rotated_box=False), or the minimum rotated
+  rectangle via pure-numpy rotating calipers (functions/geometry
+  .min_area_rect) with rotated=True — no cv2 needed.
 - mango_char_vote: exact MANGO voting (post_mango.py:150-200): each
   grid's text gets an appended '#' end symbol; per character position,
   weighted vote over grids; ties resolved by first insertion (the
@@ -159,3 +159,23 @@ def seg_group_stage(df: DataFrame, seg_col: str = "seg", h_col: str = "h", w_col
             )
 
     return df.mapInArrow(run, schema=SEG_QUADS_SCHEMA)
+
+
+def make_seg_fixture(doc_idx: int, seed: int = 67, h: int = 48, w: int = 48):
+    """Deterministic binary seg map with 1-3 planted, well-separated
+    axis-aligned rectangles. Returns (row for seg_group_stage, golden
+    [(x0, y0, x1, y1, n_pixels)]) — the golden is pure planted geometry,
+    independent of the decode (components of an axis-aligned rect must
+    come back as exactly its bounding quad)."""
+    rng = np.random.default_rng(seed * 65537 + doc_idx)
+    seg = np.zeros((h, w), dtype=np.int8)
+    golden = []
+    for b in range(int(rng.integers(1, 4))):
+        y0 = 2 + b * (h // 3)
+        y1 = y0 + int(rng.integers(3, h // 4))
+        x0 = int(rng.integers(2, 8))
+        x1 = x0 + int(rng.integers(6, w - 12))
+        seg[y0 : y1 + 1, x0 : x1 + 1] = 1
+        golden.append((x0, y0, x1, y1, (y1 - y0 + 1) * (x1 - x0 + 1)))
+    row = {"doc_id": f"seg-{doc_idx}", "seg": seg.reshape(-1).tolist(), "h": h, "w": w}
+    return row, golden

@@ -159,3 +159,84 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str = "doc_id", n_buck
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+# ---------------------------------------------------------------------------
+# evaluation archives (IC15-style zipped per-image txt submissions)
+# ---------------------------------------------------------------------------
+EVAL_ARCHIVE_SCHEMA = (
+    "doc_id string, poly array<double>, conf double, text string"
+)
+
+
+def write_eval_archive(df: DataFrame, zip_path: str, conf_col: str | None = "conf") -> int:
+    """documents of detections -> one zip of per-image ``res_<doc>.txt``
+    files, each line ``x1,y1,...,xn,yn[,conf][,text]`` — the submission
+    format the reference's offline eval scripts consume
+    (demo/text_detection/evaluation: gt/*.zip + pred/*.zip).
+
+    Eval archives are driver-scale artifacts (KB-MB), so the rows are
+    streamed through toLocalIterator after a per-doc groupBy — the heavy
+    lifting (decode + per-doc line assembly) stays distributed; only the
+    final zip packing is driver-side. Returns number of entries.
+    """
+    import zipfile
+
+    import pyspark.sql.functions as F
+
+    line = F.concat_ws(
+        ",",
+        F.concat_ws(",", F.transform("poly", lambda v: v.cast("int").cast("string"))),
+        *( [F.round(F.col(conf_col), 6).cast("string")] if conf_col else [] ),
+        F.col("text"),
+    )
+    per_doc = (
+        df.select("doc_id", line.alias("line"))
+        .groupBy("doc_id")
+        .agg(F.concat_ws("\n", F.collect_list("line")).alias("body"))
+        .orderBy("doc_id")
+    )
+    n = 0
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for row in per_doc.toLocalIterator():
+            zf.writestr(f"res_{row['doc_id']}.txt", row["body"])
+            n += 1
+    return n
+
+
+def read_eval_archive(spark: SparkSession, zip_path: str, has_conf: bool = True) -> DataFrame:
+    """zip of per-image txt files -> rows (doc_id, poly, conf, text).
+    Entries parallelize across executors after a driver-side listing
+    (archive members are the unit of work, like a file listing)."""
+    import zipfile
+
+    with zipfile.ZipFile(zip_path) as zf:
+        entries = [(name, zf.read(name).decode("utf-8")) for name in sorted(zf.namelist())]
+
+    def parse(pair):
+        name, body = pair
+        doc_id = name.rsplit("/", 1)[-1]
+        if doc_id.startswith("res_"):
+            doc_id = doc_id[4:]
+        if doc_id.endswith(".txt"):
+            doc_id = doc_id[:-4]
+        out = []
+        for ln in body.splitlines():
+            if not ln.strip():
+                continue
+            parts = ln.split(",")
+            if has_conf:
+                n_pts = (len(parts) - 2) // 2 * 2
+                poly = [float(v) for v in parts[:n_pts]]
+                conf = float(parts[n_pts])
+                text = ",".join(parts[n_pts + 1 :])
+            else:
+                n_pts = (len(parts) - 1) // 2 * 2
+                poly = [float(v) for v in parts[:n_pts]]
+                conf = 1.0
+                text = ",".join(parts[n_pts:])
+            out.append((doc_id, poly, conf, text))
+        return out
+
+    rdd = spark.sparkContext.parallelize(entries, max(len(entries) // 4, 1)).flatMap(parse)
+    return spark.createDataFrame(rdd, EVAL_ARCHIVE_SCHEMA)

@@ -77,3 +77,31 @@ def test_join_proposals(spark, tmp_path):
     got = {r["doc_id"]: r["proposal"] for r in out.collect()}
     assert got["Images/train/img1.jpg"] == [0.1, 0.2]
     assert got["Images/train/img2.jpg"] is None
+
+
+def test_eval_archive_roundtrip(spark, tmp_path):
+    """zip sink -> source roundtrip preserves every detection line and
+    feeds det_hmean identically to the in-memory path."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.sources.datalist import (
+        read_eval_archive,
+        write_eval_archive,
+    )
+
+    rows = [
+        ("img_1", [10.0, 10.0, 60.0, 10.0, 60.0, 30.0, 10.0, 30.0], 0.92, "hello"),
+        ("img_1", [100.0, 10.0, 160.0, 10.0, 160.0, 30.0, 100.0, 30.0], 0.7, "wor,ld"),
+        ("img_2", [5.0, 5.0, 50.0, 5.0, 50.0, 25.0, 5.0, 25.0], 0.55, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, poly array<double>, conf double, text string")
+    zp = str(tmp_path / "pred.zip")
+    assert write_eval_archive(df, zp) == 2
+
+    back = read_eval_archive(spark, zp).orderBy("doc_id", "conf")
+    got = [(r["doc_id"], r["poly"], r["conf"], r["text"]) for r in back.collect()]
+    want = sorted(rows, key=lambda t: (t[0], t[2]))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert [g[1] for g in got] == [w[1] for w in want]
+    assert [round(g[2], 6) for g in got] == [w[2] for w in want]
+    assert [g[3] for g in got] == [w[3] for w in want]  # comma in text survives
