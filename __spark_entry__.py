@@ -310,6 +310,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash"] = simhash
 
+    def embedding_near_dup(spark, sf):
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("embedding"),
+        )
+        # plant near-duplicates: copies with the first component nudged
+        dups = e.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 5000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda v, i: F.when(i == 0, v + 0.001).otherwise(v)
+            ).alias("embedding"),
+        )
+        allv = e.unionByName(dups)
+        return D.embedding_near_dup_pairs(allv, threshold=0.999)
+
+    q["embedding_near_dup"] = embedding_near_dup
+
     # --- similarity search
     def embedding_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
@@ -642,6 +659,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["media_decode"] = media_decode
+
+    def html_main_content(spark, sf):
+        # synthesize boilerplate-wrapped pages from documents, then
+        # strip back to main content — expected spans derive from the
+        # same substrings in SQL (independent oracle)
+        from davar_lab_ocr_spark.operators.html_extract import html_extract_stage
+
+        d = _t(spark, sf, "documents").filter(
+            (F.col("doc_id") < 300) & (F.col("n_chars") >= 200)
+        )
+        ref = F.concat(F.lit("media://doc/"), F.col("doc_id").cast("string"), F.lit(".png"))
+        page = F.concat(
+            F.lit(
+                "<html><head><title>t</title><script>var x=1;</script></head><body>"
+                '<nav><a href="/">Home</a><a href="/a">About</a><a href="/b">More</a></nav>'
+                "<h1>"
+            ),
+            F.substring("text", 1, 30),
+            F.lit("</h1><p>"),
+            F.substring("text", 31, 100),
+            F.lit("</p><p>"),
+            F.substring("text", 131, 70),
+            F.lit('</p><img src="'),
+            ref,
+            F.lit(
+                '"/><footer>(c) 2020 Corp <a href="/p">Privacy</a>'
+                ' <a href="/t">Terms</a></footer></body></html>'
+            ),
+        )
+        pages = d.select(F.col("doc_id").cast("string").alias("doc_id"), page.alias("html"))
+        return _explode_spans(html_extract_stage(pages))
+
+    q["html_main_content"] = html_main_content
+
+    def pdf_extract(spark, sf):
+        # synthesize simple PDFs from documents, parse the text spans
+        # back; expected spans are the same substrings (independent SQL)
+        import pyarrow as pa
+
+        from davar_lab_ocr_spark.sources.pdf import make_simple_pdf, pdf_extract_stage
+
+        d = (
+            _t(spark, sf, "documents")
+            .filter((F.col("doc_id") < 200) & (F.col("n_chars") >= 200))
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        )
+
+        def build(batches):
+            for batch in batches:
+                ids = batch.column("doc_id").to_pylist()
+                texts = batch.column("text").to_pylist()
+                pdfs = [
+                    make_simple_pdf(
+                        [[
+                            (72, 720, 24, t[:30]),
+                            (72, 680, 12, t[30:130]),
+                            (72, 640, 12, t[130:200]),
+                        ]]
+                    )
+                    for t in texts
+                ]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, pa.string()), pa.array(pdfs, pa.binary())],
+                    names=["doc_id", "pdf"],
+                )
+
+        pdfs = d.mapInArrow(build, "doc_id string, pdf binary")
+        return _explode_spans(pdf_extract_stage(pdfs))
+
+    q["pdf_extract"] = pdf_extract
 
     def media_transform(spark, sf):
         from davar_lab_ocr_spark.operators.multimodal import (
@@ -1125,6 +1212,37 @@ def oracle_sql() -> dict[str, str]:
             sums AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
             SELECT doc_id, CAST({sim_terms} AS bigint) AS simhash FROM sums
         """,
+        "embedding_near_dup": """
+            WITH base AS (
+                SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 5000,
+                       list_concat([embedding[1]::double + 0.001],
+                                   list_transform(embedding[2:], x -> x::double))
+                FROM embeddings WHERE vec_id % 7 = 0
+            ),
+            b AS (
+                SELECT vec_id, v,
+                       (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN v[5] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN v[6] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN v[7] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN v[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+                FROM base
+            )
+            SELECT id_a, id_b, cos_sim FROM (
+                SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                       round(
+                         list_sum(list_transform(list_zip(a.v, c.v), p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                            * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cos_sim
+                FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            ) WHERE cos_sim >= 0.999
+        """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
             c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
@@ -1412,6 +1530,36 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY dist ASC, lex ASC) AS rk
                 FROM cand
             ) WHERE rk = 1
+        """,
+        # html boilerplate strip: expected spans are the same substrings
+        # the page template embedded — derived directly from documents
+        "html_main_content": """
+            WITH d AS (
+                SELECT CAST(doc_id AS varchar) AS doc_id, text,
+                       'media://doc/' || CAST(doc_id AS varchar) || '.png' AS ref
+                FROM documents WHERE doc_id < 300 AND n_chars >= 200
+            )
+            SELECT doc_id, 0 AS "offset", 'title' AS kind,
+                   trim(substr(text, 1, 30)) AS text, '' AS media_ref FROM d
+            UNION ALL
+            SELECT doc_id, 1, 'text', trim(substr(text, 31, 100)), '' FROM d
+            UNION ALL
+            SELECT doc_id, 2, 'text', trim(substr(text, 131, 70)), '' FROM d
+            UNION ALL
+            SELECT doc_id, 3, 'figure', '', ref FROM d
+        """,
+        # pdf parse: expected spans are the substrings the writer drew
+        "pdf_extract": """
+            WITH d AS (
+                SELECT CAST(doc_id AS varchar) AS doc_id, text
+                FROM documents WHERE doc_id < 200 AND n_chars >= 200
+            )
+            SELECT doc_id, 0 AS "offset", 'title' AS kind,
+                   substr(text, 1, 30) AS text, '' AS media_ref FROM d
+            UNION ALL
+            SELECT doc_id, 1, 'text', substr(text, 31, 100), '' FROM d
+            UNION ALL
+            SELECT doc_id, 2, 'text', substr(text, 131, 70), '' FROM d
         """,
         # media metadata decode: the fake-fetch header is md5 arithmetic
         # DuckDB reproduces bit-for-bit; resize arithmetic is plain math

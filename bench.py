@@ -55,17 +55,23 @@ HEADLINE = [
 ]
 
 
-def _new_spark(parallelism: int):
+def _new_spark(parallelism: int, split: str = "2m"):
     from davar_lab_ocr_spark.session import get_spark
 
+    # split sizing, A/B-measured on this corpus (see BENCH.md):
+    # - "2m": many fine splits -> multiple task waves per core; used for
+    #   the N-vs-4N scaling pairs so both levels see identical wave
+    #   structure and stragglers amortize;
+    # - "8m": fewer, larger splits -> ~30% higher absolute throughput at
+    #   full parallelism (less per-task overhead); used for the headline
+    #   full-box throughput measurement.
+    sizes = {"2m": ("2m", "1m"), "8m": ("8m", "2m")}[split]
     return get_spark(
-        f"bench-{parallelism}",
+        f"bench-{parallelism}-{split}",
         parallelism=parallelism,
-        # fine input splits: many small corpus files -> multiple task
-        # waves per core, so stragglers amortize at full parallelism
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "2m",
-            "spark.sql.files.openCostInBytes": "1m",
+            "spark.sql.files.maxPartitionBytes": sizes[0],
+            "spark.sql.files.openCostInBytes": sizes[1],
         },
     )
 
@@ -103,10 +109,75 @@ def _time_extract(spark, corpus_path: str, out_path: str, repeats: int = 2) -> f
     return best
 
 
+def _serve(cores: int, split: str, corpus_path: str, out_path: str) -> None:
+    """Child mode: hold a warm SparkSession at one parallelism level and
+    run one timed extract per RUN command — lets the parent interleave
+    levels so N and 4N sample the SAME host-contention windows (the
+    shared VM's noise is bursty; sequential per-level runs see
+    different weather and skew the ratio — BENCH.md A/B methodology)."""
+    from davar_lab_ocr_spark.plans.extract import extract
+
+    spark = _new_spark(cores, split=split)
+    spark.sparkContext.setLogLevel("ERROR")
+    raw = spark.read.parquet(corpus_path)
+    extract(raw.limit(max(BENCH_DOCS // 8, 1000))).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    print("READY", flush=True)
+    for line in sys.stdin:
+        if line.strip() != "RUN":
+            break
+        t0 = time.time()
+        extract(raw).write.mode("overwrite").parquet(out_path)
+        print(f"T {time.time() - t0:.4f}", flush=True)
+    spark.stop()
+
+
+def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
+                       rounds: int = 3) -> dict[tuple[int, str], float]:
+    """Boot one warm child per (cores, split) level, then alternate RUN
+    commands across levels round-robin; min per level over rounds."""
+    import subprocess
+
+    procs = {}
+    for cores, split in levels:
+        out = os.path.join(WORK_DIR, f"extract_out_{cores}_{split}")
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--serve", str(cores), split,
+             corpus_path, out],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in p.stdout:
+            if line.strip() == "READY":
+                break
+        procs[(cores, split)] = p
+    best: dict[tuple[int, str], float] = {k: float("inf") for k in procs}
+    for _ in range(rounds):
+        for key, p in procs.items():
+            p.stdin.write("RUN\n")
+            p.stdin.flush()
+            for line in p.stdout:
+                if line.startswith("T "):
+                    best[key] = min(best[key], float(line.split()[1]))
+                    break
+    for p in procs.values():
+        try:
+            p.stdin.write("QUIT\n")
+            p.stdin.flush()
+            p.wait(timeout=30)
+        except Exception:
+            p.kill()
+    return best
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--serve":
+        _serve(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+        return
+
     os.makedirs(WORK_DIR, exist_ok=True)
     corpus_path = os.path.join(WORK_DIR, f"corpus_{BENCH_DOCS}")
-    out_path = os.path.join(WORK_DIR, "extract_out")
 
     timings: dict[str, float] = {}
 
@@ -115,28 +186,32 @@ def main() -> None:
     _ensure_corpus(spark, corpus_path, BENCH_DOCS)
     spark.stop()
 
-    # --- scaling pairs (N vs 4N), cold JVM per level ----------------------
+    # --- scaling pairs (N vs 4N), interleaved warm children ---------------
     # Primary pair: cpus/8 -> cpus/2 (4 -> 16 here). Rationale: beyond
     # ~half the box's cores, all task threads share one memory bus and
     # GC, which a multi-EXECUTOR cluster does not — the lower pair is
     # the honest single-box analog of N -> 4N executors. The full-box
-    # pair (cpus/4 -> cpus) is also measured and reported.
-    times: dict[int, float] = {}
-    for p in sorted({max(CPUS // 8, 1), max(CPUS // 2, 1), max(CPUS // 4, 1), CPUS}):
-        spark = _new_spark(p)
-        times[p] = _time_extract(spark, corpus_path, out_path + f"_{p}")
-        spark.stop()
+    # pair (cpus/4 -> cpus) is also measured and reported. Levels run
+    # interleaved (round-robin RUNs against warm per-level sessions) so
+    # every level samples the same host-contention windows; min-of-N
+    # per level is the least-contended estimate. The full-box level
+    # also runs at the throughput-optimal 8m split for the headline.
+    lo_n, lo_4n = max(CPUS // 8, 1), max(CPUS // 2, 1)
+    n_small = max(CPUS // 4, 1)
+    levels = [(p, "2m") for p in sorted({lo_n, lo_4n, n_small, CPUS})]
+    levels.append((CPUS, "8m"))
+    best = _interleaved_times(levels, corpus_path, rounds=3)
+    times = {p: t for (p, s), t in best.items() if s == "2m"}
+    t_head = best[(CPUS, "8m")]
 
     spark = _new_spark(CPUS)
-    t_big = times[CPUS]
-    t_small = times[max(CPUS // 4, 1)]
-    timings["extract_full"] = round(t_big, 3)
+    t_big = times[CPUS]  # same-config (2m) for the fullbox pair
+    t_small = times[n_small]
+    timings["extract_full"] = round(t_head, 3)
 
-    lo_n, lo_4n = max(CPUS // 8, 1), max(CPUS // 2, 1)
     thr_lo_n = BENCH_DOCS / times[lo_n]
     thr_lo_4n = BENCH_DOCS / times[lo_4n]
     eff_primary = (thr_lo_4n / thr_lo_n) / (lo_4n / lo_n)
-    n_small = max(CPUS // 4, 1)
     thr_n = BENCH_DOCS / t_small
     thr_4n = BENCH_DOCS / t_big
     efficiency = (thr_4n / thr_n) / (CPUS / n_small)
@@ -145,6 +220,12 @@ def main() -> None:
     import __spark_entry__ as E
 
     qs = E.queries()
+    # warm the fresh session (JVM JIT, python worker pool, SF_DIR page
+    # cache) — the scaling levels ran in child processes, so this
+    # parent session is cold and the first query would absorb the boot
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    qs["tokenize_spans"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -155,7 +236,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     spark.stop()
 
-    shutil.rmtree(out_path + "_n", ignore_errors=True)
+    for name in os.listdir(WORK_DIR):
+        if name.startswith("extract_out"):
+            shutil.rmtree(os.path.join(WORK_DIR, name), ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -164,7 +247,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "docs_per_sec": round(thr_4n, 1),
+        "docs_per_sec": round(BENCH_DOCS / t_head, 1),
         "bench_docs": BENCH_DOCS,
         "scaling": {
             "cores_n": lo_n,

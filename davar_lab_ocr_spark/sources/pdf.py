@@ -1,0 +1,182 @@
+"""Minimal PDF text extraction (the "PDF parse" face of the north
+rule) — pure stdlib: zlib for FlateDecode, regex over content streams.
+
+Scope: PDFs whose text is drawn with the standard `BT ... Tf ... Td
+(text) Tj ... ET` operator sequence and whose content streams are
+uncompressed or FlateDecode — the shape ``make_simple_pdf`` writes and
+the overwhelmingly common case for digitally-born documents. Encrypted
+PDFs, CID fonts, and TJ-array kerning are out of scope (a real deploy
+would swap ``pdf_to_spans_py`` for a library call; the Spark stage and
+span contract stay identical).
+
+Output is the engine-wide span schema (kind, text, media_ref, offset):
+reading order by (page, -y, x) descending-y (PDF y-axis points up),
+kind='title' for font sizes >= 18.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pyarrow as pa
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# writer (fixture generator)
+# ---------------------------------------------------------------------------
+
+
+def make_simple_pdf(pages: list[list[tuple[float, float, float, str]]],
+                    compress: bool = True) -> bytes:
+    """Write a minimal PDF 1.4: one content stream per page, each text
+    item (x, y, font_size, text) as a BT/Td/Tj block. Text must not
+    contain backslashes or parentheses (escaping kept out of scope on
+    the writer; the PARSER handles escapes)."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_ids = []
+    content_ids = []
+    for items in pages:
+        parts = [b"BT"]
+        for x, y, size, text in items:
+            parts.append(f"/F1 {size:g} Tf {x:g} {y:g} Td ({text}) Tj".encode())
+        parts.append(b"ET")
+        stream = b"\n".join(parts)
+        if compress:
+            data = zlib.compress(stream)
+            body = b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream" % (
+                len(data), data)
+        else:
+            body = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        content_ids.append(add(body))
+        page_ids.append(None)  # placeholder; page objects reference pages root
+
+    pages_root = len(objs) + len(pages) + 1
+    for i, cid in enumerate(content_ids):
+        page_ids[i] = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (pages_root, font, cid)
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    root_pages = add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids))
+    )
+    assert root_pages == pages_root
+    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % root_pages)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog, xref_at)
+    )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
+_TEXT_OP_RE = re.compile(
+    rb"(?:/\w+\s+(?P<size>[\d.]+)\s+Tf\s+)?"
+    rb"(?P<x>-?[\d.]+)\s+(?P<y>-?[\d.]+)\s+Td\s*"
+    rb"\((?P<text>(?:\\.|[^()\\])*)\)\s*Tj"
+)
+_ESCAPES = {b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
+            b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\"}
+
+
+def _unescape(raw: bytes) -> str:
+    for k, v in _ESCAPES.items():
+        raw = raw.replace(k, v)
+    return raw.decode("latin-1")
+
+
+def pdf_to_spans_py(pdf: bytes, title_min_size: float = 18.0) -> list[dict]:
+    """PDF bytes -> ordered spans [(kind, text, media_ref='', offset)].
+    Reading order: (page, -y, x); y points up in PDF user space."""
+    items = []  # (page, -y, x, size, text)
+    page = 0
+    for m in _STREAM_RE.finditer(pdf or b""):
+        header, data = m.group(1), m.group(2)
+        if b"/FlateDecode" in header:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        if b"BT" not in data:
+            continue
+        size = 12.0
+        for t in _TEXT_OP_RE.finditer(data):
+            if t.group("size"):
+                size = float(t.group("size"))
+            items.append(
+                (page, -float(t.group("y")), float(t.group("x")), size,
+                 _unescape(t.group("text")))
+            )
+        page += 1
+    items.sort(key=lambda it: (it[0], it[1], it[2]))
+    return [
+        {
+            "kind": "title" if size >= title_min_size else "text",
+            "text": text,
+            "media_ref": "",
+            "offset": i,
+        }
+        for i, (_p, _ny, _x, size, text) in enumerate(items)
+    ]
+
+
+def pdf_extract_stage(df: DataFrame, pdf_col: str = "pdf") -> DataFrame:
+    """(doc_id, pdf binary) -> (doc_id, spans) — same span contract as
+    the HTML and layout extraction paths."""
+    spans_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("kind", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("media_ref", T.StringType()),
+                T.StructField("offset", T.IntegerType()),
+            ]
+        )
+    )
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("spans", spans_type)]
+    )
+    pa_spans = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+
+    def run(batches):
+        for batch in batches:
+            pdfs = batch.column(pdf_col).to_pylist()
+            spans = [pdf_to_spans_py(p) for p in pdfs]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(spans, type=pa_spans)],
+                names=["doc_id", "spans"],
+            )
+
+    return df.mapInArrow(run, schema=out_schema)
