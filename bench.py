@@ -153,7 +153,9 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
                 break
         procs[(cores, split)] = p
     best: dict[tuple[int, str], float] = {k: float("inf") for k in procs}
-    for _ in range(rounds):
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "300"))
+    t0 = time.time()
+    for rnd in range(rounds):
         for key, p in procs.items():
             p.stdin.write("RUN\n")
             p.stdin.flush()
@@ -161,6 +163,11 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
                 if line.startswith("T "):
                     best[key] = min(best[key], float(line.split()[1]))
                     break
+        # time budget: under heavy external contention a round can take
+        # 2-3x its quiet-window cost; stop after a complete round rather
+        # than risk the caller's timeout (>=1 full round always runs)
+        if time.time() - t0 > budget and rnd + 1 < rounds:
+            break
     for p in procs.values():
         try:
             p.stdin.write("QUIT\n")

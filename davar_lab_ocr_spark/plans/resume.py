@@ -49,12 +49,27 @@ class SnapshotSink:
                     out.append(json.load(fh))
         return out
 
-    def committed_paths(self) -> list[str]:
-        return [os.path.join(self.path, f"batch={m['batch_id']}") for m in self.committed_batches()]
+    def committed_paths(self, as_of: str | None = None) -> list[str]:
+        manifests = self.committed_batches()
+        if as_of is not None:
+            by_id = {m["batch_id"]: m for m in manifests}
+            if as_of not in by_id:
+                raise KeyError(f"no committed batch {as_of!r}")
+            cutoff = by_id[as_of]["committed_at"]
+            manifests = [m for m in manifests if m["committed_at"] <= cutoff]
+        return [os.path.join(self.path, f"batch={m['batch_id']}") for m in manifests]
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        """Union of all committed snapshots (uncommitted dirs invisible)."""
-        paths = self.committed_paths()
+    def history(self) -> list[dict]:
+        """The commit log, oldest first (the Iceberg snapshots-table
+        analog): one manifest per committed batch with counters."""
+        return sorted(self.committed_batches(), key=lambda m: m["committed_at"])
+
+    def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
+        """Union of committed snapshots (uncommitted dirs invisible).
+        ``as_of`` time-travels: only batches committed up to and
+        including that batch_id are visible — reproduces any historical
+        read of the table."""
+        paths = self.committed_paths(as_of)
         if not paths:
             return None
         return spark.read.parquet(*paths)

@@ -40,3 +40,32 @@ def test_pdf_stage(spark):
     got = {r["doc_id"]: [s["text"] for s in r["spans"]] for r in pdf_extract_stage(df).collect()}
     assert got["p0"][0] == "Document Title" and len(got["p0"]) == 4
     assert got["p1"] == ["x y z"]
+
+
+def test_pdf_roundtrip_property():
+    """Property: for any planted (x, y, size, text) items with distinct
+    positions, parse(write(items)) recovers every text in (page, -y, x)
+    order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789 ", min_size=1, max_size=30).map(str.strip).filter(bool)
+    item = st.tuples(
+        st.integers(0, 600), st.integers(0, 780), st.sampled_from([10, 12, 18, 24]), texts
+    )
+    pages = st.lists(st.lists(item, min_size=1, max_size=5, unique_by=lambda t: (t[0], t[1])),
+                     min_size=1, max_size=3)
+
+    @settings(max_examples=40, deadline=None)
+    @given(pages)
+    def check(pgs):
+        from davar_lab_ocr_spark.sources.pdf import make_simple_pdf, pdf_to_spans_py
+
+        spans = pdf_to_spans_py(make_simple_pdf(pgs))
+        want = []
+        for p, items in enumerate(pgs):
+            for x, y, size, text in sorted(items, key=lambda t: (-t[1], t[0])):
+                want.append((("title" if size >= 18 else "text"), text))
+        assert [(s["kind"], s["text"]) for s in spans] == want
+
+    check()

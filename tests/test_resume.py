@@ -66,3 +66,25 @@ def test_lineage_counters(spark, tmp_path):
     # manifest is valid json on disk
     with open(os.path.join(out, "_manifests", "x.json")) as fh:
         assert json.load(fh)["batch_id"] == "x"
+
+
+def test_time_travel_read(spark, tmp_path):
+    import pytest
+
+    out = str(tmp_path / "tt")
+    raw_rows, _ = make_raw_corpus(30, seed=71, giant_every=0)
+    full = raw_df(spark, raw_rows)
+    half = full.filter(F.col("doc_id") < "doc-71-0000015")
+    run_resumable_extract(spark, half, out, batch_id="b1")
+    run_resumable_extract(spark, full, out, batch_id="b2")
+
+    sink = SnapshotSink(out)
+    hist = sink.history()
+    assert [m["batch_id"] for m in hist] == ["b1", "b2"]
+    n_b1 = sink.read(spark, as_of="b1").count()
+    n_all = sink.read(spark).count()
+    assert 0 < n_b1 < n_all
+    # as_of the latest batch == current state
+    assert sink.read(spark, as_of="b2").count() == n_all
+    with pytest.raises(KeyError):
+        sink.read(spark, as_of="nope")
