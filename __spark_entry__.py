@@ -344,6 +344,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh"] = ann_lsh
 
+    def ann_multiprobe(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return SIM.lsh_topk(
+            e.filter(F.col("vec_id") < 20),
+            e.filter(F.col("vec_id") >= 20),
+            k=1,
+            n_bits=4,
+            multiprobe=True,
+        )
+
+    q["ann_multiprobe"] = ann_multiprobe
+
     def lsh_bucket_histogram(spark, sf):
         return SIM.lsh_buckets(_t(spark, sf, "embeddings"), n_bits=4)
 
@@ -766,6 +778,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _explode_spans(SnapshotSink(out).read(spark))
 
     q["resumable_extract"] = resumable_extract
+
+    def split_layout_extract(spark, sf):
+        # the 100TB storage-layout path: ingest to parallel top-level
+        # arrays (pruned scans per branch), extract, same spans out —
+        # oracle is the SAME independent fixture as resumable_extract
+        # (identical corpus params), proving layout-invariance
+        import tempfile
+
+        from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
+        from davar_lab_ocr_spark.plans.split_storage import (
+            extract_split,
+            to_split_layout,
+        )
+
+        raw_rows, _ = make_raw_corpus(60, seed=19, giant_every=0)
+        path = tempfile.mkdtemp(prefix="split_q_")
+        to_split_layout(raw_df(spark, raw_rows)).write.mode("overwrite").parquet(path)
+        return _explode_spans(extract_split(spark.read.parquet(path)))
+
+    q["split_layout_extract"] = split_layout_extract
 
     def east_decode(spark, sf):
         from davar_lab_ocr_spark.operators.detection import (
@@ -1288,6 +1320,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rk <= 1
         """,
+        "ann_multiprobe": """
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END)
+                    || (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+                FROM embeddings
+            ),
+            probes AS (
+                SELECT vec_id, embedding, bucket FROM b WHERE vec_id < 20
+"""
+        + "\n".join(
+            f"""                UNION ALL
+                SELECT vec_id, embedding,
+                       substr(bucket, 1, {i}) ||
+                       (CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) ||
+                       substr(bucket, {i + 2}) AS bucket
+                FROM b WHERE vec_id < 20"""
+            for i in range(4)
+        )
+        + """
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(
+                         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                                 p -> p[1]::double * p[2]::double))
+                         / (sqrt(list_sum(list_transform(q.embedding, x -> x::double * x::double)))
+                            * sqrt(list_sum(list_transform(c.embedding, x -> x::double * x::double)))),
+                         6) AS cos_sim
+                FROM probes q JOIN b c ON q.bucket = c.bucket
+                WHERE c.vec_id >= 20
+            )
+            SELECT query_id, neighbor_id, cos_sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 1
+        """,
         "lsh_bucket_histogram": """
             SELECT (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END)
                 || (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END)
@@ -1592,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         # tools/make_expected_fixtures.py for provenance per fixture)
         "flagship_extract": _spans_fixture_sql("expected_flagship"),
         "resumable_extract": _spans_fixture_sql("expected_resume"),
+        "split_layout_extract": _spans_fixture_sql("expected_resume"),
         "full_chain_extract": _spans_fixture_sql("expected_fullchain"),
         "east_decode": f"""
             SELECT doc_id, x0, y0, x1, y1, x2, y2, x3, y3, conf

@@ -74,6 +74,22 @@ def lsh_buckets(df: DataFrame, n_bits: int = 4, id_col: str = "vec_id", vec_col:
     )
 
 
+def probe_buckets_expr(vec_col, n_bits: int = 4) -> F.Column:
+    """Multi-probe key set: the query's own bucket plus every bucket at
+    Hamming distance 1 (one sign flipped) — the standard multi-probe
+    LSH recall fix: a true neighbor lands in another bucket only when
+    some component sits near the hyperplane, and flipping that one bit
+    reaches it. n_bits+1 probes instead of 2^n_bits buckets scanned."""
+    base = bucket_key_expr(vec_col, n_bits)
+    probes = [base]
+    for i in range(n_bits):
+        flipped = F.when(F.substring(base, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        probes.append(
+            F.concat(F.substring(base, 1, i), flipped, F.substring(base, i + 2, n_bits - i - 1))
+        )
+    return F.array(*probes)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -81,14 +97,24 @@ def lsh_topk(
     n_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """ANN: probe only the query's own LSH bucket, exact rank inside.
-    (query_id, neighbor_id, cos_sim)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        bucket_key_expr(F.col(vec_col), n_bits).alias("bucket"),
-    )
+    """ANN: probe the query's LSH bucket (plus all 1-flip buckets when
+    ``multiprobe``), exact rank inside. (query_id, neighbor_id,
+    cos_sim). Corpus vectors live in exactly one bucket, so multi-probe
+    never produces duplicate candidate pairs."""
+    if multiprobe:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probe_buckets_expr(F.col(vec_col), n_bits)).alias("bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            bucket_key_expr(F.col(vec_col), n_bits).alias("bucket"),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
