@@ -153,7 +153,7 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
                 break
         procs[(cores, split)] = p
     best: dict[tuple[int, str], float] = {k: float("inf") for k in procs}
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "300"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "240"))
     t0 = time.time()
     for rnd in range(rounds):
         for key, p in procs.items():
