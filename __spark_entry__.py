@@ -1659,9 +1659,14 @@ def oracle_sql() -> dict[str, str]:
                    round(scale, 8) AS scale_factor
             FROM scaled
         """,
-        # fixture oracles: expected outputs derived by the independent
-        # pure-python second implementations (see
-        # tools/make_expected_fixtures.py for provenance per fixture)
+        # fixture oracles — provenance varies per fixture (documented in
+        # tools/make_expected_fixtures.py): flagship/resume/fullchain/
+        # east/seg are INDEPENDENT derivations (pure-python span oracle /
+        # planted geometry); tp/teds/tree_f1/det+e2e hmean/media/ner/
+        # pointer/table_html/track are LOCAL KERNEL REPLAYS (they pin the
+        # distributed stage to the hand-golden-tested kernel, catching
+        # plumbing drift but not kernel bugs — those are covered by the
+        # kernels' own hand-derived/brute-force unit goldens)
         "flagship_extract": _spans_fixture_sql("expected_flagship"),
         "resumable_extract": _spans_fixture_sql("expected_resume"),
         "split_layout_extract": _spans_fixture_sql("expected_resume"),

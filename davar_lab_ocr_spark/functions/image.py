@@ -76,9 +76,14 @@ def warp_perspective(img: np.ndarray, m: np.ndarray, out_w: int, out_h: int) -> 
     with constant-0 border."""
     inv = np.linalg.inv(np.asarray(m, dtype=np.float64))
     ys, xs = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
-    denom = inv[2, 0] * xs + inv[2, 1] * ys + inv[2, 2]
-    sx = (inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]) / denom
-    sy = (inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]) / denom
+    with np.errstate(divide="ignore", invalid="ignore"):
+        denom = inv[2, 0] * xs + inv[2, 1] * ys + inv[2, 2]
+        sx = (inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]) / denom
+        sy = (inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]) / denom
+    # points at infinity (denom 0 under a degenerate homography) sample
+    # the constant border, deterministically and without warnings
+    sx = np.nan_to_num(sx, nan=-1.0, posinf=-1.0, neginf=-1.0)
+    sy = np.nan_to_num(sy, nan=-1.0, posinf=-1.0, neginf=-1.0)
     out = _bilinear_sample(img.astype(np.float64), sx, sy)
     return out.astype(img.dtype) if np.issubdtype(img.dtype, np.integer) else out
 
@@ -131,5 +136,11 @@ def crop_and_transform(img: np.ndarray, bbox, crop_only: bool = False) -> np.nda
     if width <= 0 or height <= 0:
         return crop
     dst = np.asarray([[0, 0], [width, 0], [width, height], [0, height]], dtype=np.float64)
-    m = get_perspective_transform(c_points, dst)
+    try:
+        m = get_perspective_transform(c_points, dst)
+    except np.linalg.LinAlgError:
+        # int truncation can collapse a thin quad into collinear /
+        # duplicate source points (singular system); cv2 degrades
+        # gracefully there — so do we, by returning the plain crop
+        return crop
     return warp_perspective(crop, m, width, height)

@@ -86,10 +86,16 @@ class _MainContentParser(HTMLParser):
             self._open_block(tag)
 
     def handle_startendtag(self, tag, attrs):
-        if tag == "img" and not self._boiler_depth:
+        if self._boiler_depth:
+            return
+        if tag == "img":
             src = dict(attrs).get("src", "")
             if src:
                 self.spans.append(("figure", "", src))
+        elif tag in ("br", "hr") and self._block_stack:
+            # line separators are whitespace, not glue — without this,
+            # 'line one<br>line two' fuses into 'line oneline two'
+            self._block_stack[-1]["chars"].append(" ")
 
     def handle_endtag(self, tag):
         if tag in BOILERPLATE_TAGS:

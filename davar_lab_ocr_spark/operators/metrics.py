@@ -320,7 +320,11 @@ def ranked_detections(
         "cum_local", F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).withColumn("rk_local", F.row_number().over(w))
 
-    stats = base.groupBy(*groups, "bucket").agg(
+    # derive stats from `local` (post-window), not `base`: both consumers
+    # then share the window's Exchange(groups, bucket) subplan, which
+    # Spark reuses (ReusedExchange) — the upstream lineage is scanned
+    # once for the main pass instead of once per consumer
+    stats = local.groupBy(*groups, "bucket").agg(
         F.sum("m").alias("pm"), F.count("*").alias("pn")
     )
     same_group = [F.col(f"a.{g}") == F.col(f"b.{g}") for g in groups]

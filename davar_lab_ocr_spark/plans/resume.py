@@ -50,19 +50,23 @@ class SnapshotSink:
         return out
 
     def committed_paths(self, as_of: str | None = None) -> list[str]:
-        manifests = self.committed_batches()
+        manifests = self.history()
         if as_of is not None:
-            by_id = {m["batch_id"]: m for m in manifests}
-            if as_of not in by_id:
+            ids = [m["batch_id"] for m in manifests]
+            if as_of not in ids:
                 raise KeyError(f"no committed batch {as_of!r}")
-            cutoff = by_id[as_of]["committed_at"]
-            manifests = [m for m in manifests if m["committed_at"] <= cutoff]
+            # cut by commit-log POSITION, not raw committed_at: two
+            # commits inside one clock quantum (or a wall-clock step
+            # backwards) would otherwise leak later batches into the
+            # historical read
+            manifests = manifests[: ids.index(as_of) + 1]
         return [os.path.join(self.path, f"batch={m['batch_id']}") for m in manifests]
 
     def history(self) -> list[dict]:
         """The commit log, oldest first (the Iceberg snapshots-table
-        analog): one manifest per committed batch with counters."""
-        return sorted(self.committed_batches(), key=lambda m: m["committed_at"])
+        analog): one manifest per committed batch with counters;
+        batch_id breaks committed_at ties deterministically."""
+        return sorted(self.committed_batches(), key=lambda m: (m["committed_at"], m["batch_id"]))
 
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
         """Union of committed snapshots (uncommitted dirs invisible).

@@ -187,8 +187,14 @@ def write_eval_archive(df: DataFrame, zip_path: str, conf_col: str | None = "con
     line = F.concat_ws(
         ",",
         F.concat_ws(",", F.transform("poly", lambda v: v.cast("int").cast("string"))),
-        *( [F.round(F.col(conf_col), 6).cast("string")] if conf_col else [] ),
-        F.col("text"),
+        *(
+            [F.coalesce(F.round(F.col(conf_col), 6), F.lit(0.0)).cast("string")]
+            if conf_col
+            else []
+        ),
+        # concat_ws silently drops NULLs, which would shift every field
+        # after it — coalesce keeps the column count fixed
+        F.coalesce(F.col("text"), F.lit("")),
     )
     per_doc = (
         df.select("doc_id", line.alias("line"))
@@ -220,19 +226,36 @@ def read_eval_archive(spark: SparkSession, zip_path: str, has_conf: bool = True)
             doc_id = doc_id[4:]
         if doc_id.endswith(".txt"):
             doc_id = doc_id[:-4]
+        def numeric_prefix_len(parts):
+            n = 0
+            for p in parts:
+                try:
+                    float(p)
+                except ValueError:
+                    break
+                n += 1
+            return n
+
         out = []
         for ln in body.splitlines():
             if not ln.strip():
                 continue
             parts = ln.split(",")
+            # parse from the LEFT: the transcription may itself contain
+            # commas, so field positions cannot be derived from the
+            # total comma count. The polygon is the longest even run of
+            # leading numeric fields (minus the conf slot); everything
+            # after it is the text. A fully-numeric transcription is
+            # ambiguous in this format — one trailing numeric field is
+            # reserved for it when the prefix length allows.
+            n_num = numeric_prefix_len(parts)
+            reserve = 1 if has_conf else 0
+            n_pts = max((n_num - reserve) // 2 * 2, 0)
+            poly = [float(v) for v in parts[:n_pts]]
             if has_conf:
-                n_pts = (len(parts) - 2) // 2 * 2
-                poly = [float(v) for v in parts[:n_pts]]
-                conf = float(parts[n_pts])
+                conf = float(parts[n_pts]) if n_pts < len(parts) else 1.0
                 text = ",".join(parts[n_pts + 1 :])
             else:
-                n_pts = (len(parts) - 1) // 2 * 2
-                poly = [float(v) for v in parts[:n_pts]]
                 conf = 1.0
                 text = ",".join(parts[n_pts:])
             out.append((doc_id, poly, conf, text))

@@ -92,20 +92,30 @@ def make_simple_pdf(pages: list[list[tuple[float, float, float, str]]],
 # ---------------------------------------------------------------------------
 # parser
 # ---------------------------------------------------------------------------
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.S)
+# match the dict + the start of the stream only; the payload is sliced
+# by /Length, NOT by searching for `endstream` — a regex that strips a
+# trailing `\r?\n` before endstream eats the final data byte whenever
+# the compressed payload itself ends in 0x0d (~1/256 of streams) and
+# the whole page silently fails to inflate
+_STREAM_HDR_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _TEXT_OP_RE = re.compile(
     rb"(?:/\w+\s+(?P<size>[\d.]+)\s+Tf\s+)?"
     rb"(?P<x>-?[\d.]+)\s+(?P<y>-?[\d.]+)\s+Td\s*"
     rb"\((?P<text>(?:\\.|[^()\\])*)\)\s*Tj"
 )
-_ESCAPES = {b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
-            b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\"}
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t",
+            b"(": b"(", b")": b")", b"\\": b"\\"}
+_ESCAPE_RE = re.compile(rb"\\(.)", re.S)
 
 
 def _unescape(raw: bytes) -> str:
-    for k, v in _ESCAPES.items():
-        raw = raw.replace(k, v)
-    return raw.decode("latin-1")
+    """Single-pass escape decode: sequential str.replace would let one
+    replacement's output be re-read by the next (b'\\\\n' — escaped
+    backslash then literal n — must stay backslash+n, not newline)."""
+    return _ESCAPE_RE.sub(
+        lambda m: _ESCAPES.get(m.group(1), m.group(1)), raw
+    ).decode("latin-1")
 
 
 def pdf_to_spans_py(pdf: bytes, title_min_size: float = 18.0) -> list[dict]:
@@ -113,8 +123,13 @@ def pdf_to_spans_py(pdf: bytes, title_min_size: float = 18.0) -> list[dict]:
     Reading order: (page, -y, x); y points up in PDF user space."""
     items = []  # (page, -y, x, size, text)
     page = 0
-    for m in _STREAM_RE.finditer(pdf or b""):
-        header, data = m.group(1), m.group(2)
+    for m in _STREAM_HDR_RE.finditer(pdf or b""):
+        header = m.group(1)
+        length = _LENGTH_RE.search(header)
+        if not length:
+            continue
+        start = m.end()
+        data = pdf[start : start + int(length.group(1))]
         if b"/FlateDecode" in header:
             try:
                 data = zlib.decompress(data)

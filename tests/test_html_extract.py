@@ -73,3 +73,10 @@ def test_stage_matches_kernel(spark):
     ]
     assert got == want
     assert [s["text"] for s in rows["d1"]] == ["no real content"]
+
+
+def test_br_separates_words():
+    spans = html_to_spans_py("<p>first line of text<br>second line of text</p>")
+    assert spans[0]["text"] == "first line of text second line of text"
+    spans = html_to_spans_py("<p>above the rule<hr/>below the rule</p>")
+    assert spans[0]["text"] == "above the rule below the rule"

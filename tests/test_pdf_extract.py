@@ -26,10 +26,26 @@ def test_roundtrip_order_and_kinds():
 
 
 def test_parser_handles_escapes_and_garbage():
-    # escaped parens inside a literal string
+    import re
+
+    # escaped parens inside a literal string; the byte surgery grows the
+    # stream so /Length must be patched to match
     pdf = make_simple_pdf([[(72, 700, 12, "plain")]], compress=False)
-    pdf = pdf.replace(b"(plain)", rb"(a\(b\)c \\ d)")
+    old, new = b"(plain)", rb"(a\(b\)c \\ d)"
+    grow = len(new) - len(old)
+    pdf = pdf.replace(old, new)
+    pdf = re.sub(
+        rb"/Length (\d+)",
+        lambda m: b"/Length %d" % (int(m.group(1)) + grow),
+        pdf,
+        count=1,
+    )
     assert pdf_to_spans_py(pdf)[0]["text"] == "a(b)c \\ d"
+    # escaped backslash followed by a literal 'n' must NOT become \n
+    from davar_lab_ocr_spark.sources.pdf import _unescape
+
+    assert _unescape(rb"\\n") == "\\n"
+    assert _unescape(rb"\n") == "\n"
     assert pdf_to_spans_py(b"not a pdf at all") == []
     assert pdf_to_spans_py(b"") == []
 

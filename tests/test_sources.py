@@ -105,3 +105,26 @@ def test_eval_archive_roundtrip(spark, tmp_path):
     assert [g[1] for g in got] == [w[1] for w in want]
     assert [round(g[2], 6) for g in got] == [w[2] for w in want]
     assert [g[3] for g in got] == [w[3] for w in want]  # comma in text survives
+
+
+def test_eval_archive_commas_and_nulls(spark, tmp_path):
+    from davar_lab_ocr_spark.sources.datalist import (
+        read_eval_archive,
+        write_eval_archive,
+    )
+
+    rows = [
+        ("img_1", [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0.5, "a,b,,c"),
+        ("img_1", [1.0, 2.0, 3.0, 4.0], 0.25, None),  # null text
+        ("img_2", [0.0, 0.0, 9.0, 0.0, 9.0, 9.0, 0.0, 9.0], 0.75, "42"),  # numeric text
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, poly array<double>, conf double, text string")
+    zp = str(tmp_path / "c.zip")
+    write_eval_archive(df, zp)
+    got = {
+        (r["doc_id"], r["conf"]): (r["poly"], r["text"])
+        for r in read_eval_archive(spark, zp).collect()
+    }
+    assert got[("img_1", 0.5)] == ([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], "a,b,,c")
+    assert got[("img_1", 0.25)] == ([1.0, 2.0, 3.0, 4.0], "")
+    assert got[("img_2", 0.75)] == ([0.0, 0.0, 9.0, 0.0, 9.0, 9.0, 0.0, 9.0], "42")
