@@ -276,6 +276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id"] = lang_id
 
+    def bpe_token_stats(spark, sf):
+        return TS.bpe_token_stats(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))
+
+    q["bpe_token_stats"] = bpe_token_stats
+
     def doc_fingerprint(spark, sf):
         return TS.fingerprint(_t(spark, sf, "documents").filter(F.col("doc_id") < 300))
 
@@ -1179,6 +1184,20 @@ def oracle_sql() -> dict[str, str]:
                              >= 0.05
                         THEN 'en' ELSE 'other' END AS pred_lang
             FROM documents WHERE doc_id < 500
+        """,
+        "bpe_token_stats": f"""
+            WITH pieces AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                           '{TS.BPE_SPLIT.replace("'", "''")}')) AS piece
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id, count(*) AS n_pieces,
+                   count(DISTINCT piece) AS n_uniq_pieces,
+                   round(avg(length(piece)), 4) AS avg_piece_len
+            FROM pieces
+            WHERE NOT regexp_matches(piece, '^\\s+$')
+            GROUP BY doc_id
         """,
         "doc_fingerprint": f"""
             WITH norm AS (

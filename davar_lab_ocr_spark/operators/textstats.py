@@ -98,3 +98,36 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k
         id_col,
         F.array_min(shingle_hashes).alias("fp"),
     )
+
+
+# GPT-2-family pretokenizer shape, simplified to a dialect both Java
+# regex (Spark) and RE2 (DuckDB) evaluate identically: contractions,
+# letter runs, digit runs, punctuation runs, each optionally preceded
+# by one space; remaining whitespace runs.
+BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish pretokenization: (id, ord, piece) — the merge-free first
+    stage of a GPT-2-style tokenizer (regex split), enough for corpus
+    token accounting without a vocab. Pure JVM regexp_extract_all."""
+    # F.regexp_extract_all with a Column pattern avoids SQL-literal
+    # backslash mangling (F.expr would need doubled escapes)
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT), F.lit(0))
+    return (
+        df.select(id_col, F.posexplode(pieces).alias("pos", "piece"))
+        .filter(~F.col("piece").rlike(r"^\s+$"))
+        .select(id_col, (F.col("pos") + 1).alias("ord"), "piece")
+    )
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc BPE-ish token accounting: piece count, distinct pieces,
+    characters per piece — the cost-estimation numbers an LLM-training
+    pipeline tracks per document."""
+    t = bpe_tokenize(df, text_col, id_col)
+    return t.groupBy(id_col).agg(
+        F.count("*").alias("n_pieces"),
+        F.countDistinct("piece").alias("n_uniq_pieces"),
+        F.round(F.avg(F.length("piece")), 4).alias("avg_piece_len"),
+    )

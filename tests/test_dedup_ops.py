@@ -101,3 +101,12 @@ def test_embedding_near_dup_bucketed_vs_exact(spark):
     ]
     assert bucketed == [(0, 1)]
     assert exact == [(0, 1)]
+
+
+def test_bpe_tokenize_gpt2_shape(spark):
+    from davar_lab_ocr_spark.operators.textstats import bpe_tokenize
+
+    df = spark.createDataFrame([(0, "It's 42 degrees, isn't it?  yes!")],
+                               "doc_id int, text string")
+    pieces = [r["piece"] for r in bpe_tokenize(df).orderBy("ord").collect()]
+    assert pieces == ["It", "'s", " 42", " degrees", ",", " isn", "'t", " it", "?", "yes", "!"]
