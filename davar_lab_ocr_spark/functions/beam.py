@@ -33,10 +33,19 @@ def ctc_beam_search(
     blank: int = 0,
     cutoff_top_n: int = 2,
     charset: list[str] | None = None,
+    lm_scorer=None,
+    lm_eos=None,
 ) -> str:
     """log_probs: [T, V] log-probability matrix -> best decoded string
     (ids joined via ``charset`` which must include the blank symbol at
-    index ``blank``; defaults to functions.text.CTC_CHARSET)."""
+    index ``blank``; defaults to functions.text.CTC_CHARSET).
+
+    Optional shallow-fusion LM (ctc_converter.py:210-327 semantics):
+    ``lm_scorer(prefix_str, next_char) -> log-prob increment`` is added
+    to a prefix's LM score each time a NEW character extends it (never
+    on blanks or merged repeats), and the combined ctc+lm score drives
+    both beam pruning and the final argmax; ``lm_eos(prefix_str) ->
+    log-prob`` adds the end-of-sequence term at finalization."""
     from .text import CTC_CHARSET
 
     charset = charset or CTC_CHARSET
@@ -46,39 +55,60 @@ def ctc_beam_search(
     t_steps, v = lp.shape
     top_n = min(cutoff_top_n, v) if cutoff_top_n else v
 
-    # prefix -> (p_b, p_nb)
+    def to_str(prefix):
+        return "".join(charset[min(i, len(charset) - 1)] for i in prefix)
+
+    # prefix -> (p_b, p_nb); lm score tracked per prefix (path-invariant:
+    # it depends only on the prefix characters, so a single slot is exact)
     beams: dict[tuple, tuple[float, float]] = {(): (0.0, NEG_INF)}
+    lm: dict[tuple, float] = {(): 0.0}
     for t in range(t_steps):
         step = lp[t]
         tokens = np.argsort(-step)[:top_n]
         nxt: dict[tuple, tuple[float, float]] = {}
+        nxt_lm: dict[tuple, float] = {}
 
-        def upd(prefix, p_b=NEG_INF, p_nb=NEG_INF):
+        def upd(prefix, parent, tok=None, p_b=NEG_INF, p_nb=NEG_INF):
             ob, onb = nxt.get(prefix, (NEG_INF, NEG_INF))
             nxt[prefix] = (_logaddexp(ob, p_b), _logaddexp(onb, p_nb))
+            if prefix not in nxt_lm:
+                if tok is None:
+                    nxt_lm[prefix] = lm[parent]
+                else:
+                    inc = lm_scorer(to_str(parent), charset[min(tok, len(charset) - 1)]) if lm_scorer else 0.0
+                    nxt_lm[prefix] = lm[parent] + inc
 
         for prefix, (p_b, p_nb) in beams.items():
             total = _logaddexp(p_b, p_nb)
             for tok in tokens:
                 p = float(step[tok])
                 if tok == blank:
-                    upd(prefix, p_b=total + p)
+                    upd(prefix, prefix, p_b=total + p)
                     continue
                 last = prefix[-1] if prefix else None
                 if tok == last:
                     # repeat w/o blank merges into the SAME prefix
-                    upd(prefix, p_nb=p_nb + p)
+                    upd(prefix, prefix, p_nb=p_nb + p)
                     # extension only via the ending-in-blank mass
-                    upd(prefix + (int(tok),), p_nb=p_b + p)
+                    upd(prefix + (int(tok),), prefix, tok=int(tok), p_nb=p_b + p)
                 else:
-                    upd(prefix + (int(tok),), p_nb=total + p)
+                    upd(prefix + (int(tok),), prefix, tok=int(tok), p_nb=total + p)
 
-        beams = dict(
-            sorted(nxt.items(), key=lambda kv: -_logaddexp(*kv[1]))[:beam_size]
-        )
+        ranked = sorted(
+            nxt.items(), key=lambda kv: -(_logaddexp(*kv[1]) + nxt_lm[kv[0]])
+        )[:beam_size]
+        beams = dict(ranked)
+        lm = {k: nxt_lm[k] for k, _ in ranked}
 
-    best = max(beams.items(), key=lambda kv: _logaddexp(*kv[1]))[0]
-    return "".join(charset[min(i, len(charset) - 1)] for i in best)
+    def final_score(kv):
+        prefix, (p_b, p_nb) = kv
+        s = _logaddexp(p_b, p_nb) + lm[prefix]
+        if lm_eos:
+            s += lm_eos(to_str(prefix))
+        return s
+
+    best = max(beams.items(), key=final_score)[0]
+    return to_str(best)
 
 
 def ctc_label_probability(log_probs: np.ndarray, label: tuple, blank: int = 0) -> float:

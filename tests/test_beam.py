@@ -68,3 +68,66 @@ def test_beam_empty_and_single_step():
     assert ctc_beam_search(lp) == ""
     lp = np.log(np.array([[0.1, 0.9]]))
     assert ctc_beam_search(lp) == CTC_CHARSET[1]
+
+
+def test_beam_with_lm_matches_brute_force():
+    """Shallow-fusion LM: beam argmax must equal exhaustive
+    enumeration of labels scored by exact P_ctc(label) + LM terms."""
+    import itertools
+
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.beam import (
+        ctc_beam_search,
+        ctc_label_probability,
+    )
+
+    charset = ["-", "a", "b"]  # blank at 0
+    # bigram LM strongly prefers 'ab' transitions and ending in 'b'
+    def lm_scorer(prefix, ch):
+        last = prefix[-1] if prefix else ""
+        if last == "a" and ch == "b":
+            return 1.5
+        if last == "b" and ch == "a":
+            return -2.0
+        return 0.0
+
+    def lm_eos(prefix):
+        return 0.8 if prefix.endswith("b") else 0.0
+
+    rng = np.random.default_rng(31)
+    for trial in range(8):
+        lp = np.log(rng.dirichlet(np.ones(3), size=4))  # T=4, V=3
+
+        def total_score(label):
+            s = ctc_label_probability(lp, label)
+            txt = ""
+            for i in label:
+                s += lm_scorer(txt, charset[i])
+                txt += charset[i]
+            return s + lm_eos(txt)
+
+        cands = [
+            lab
+            for n in range(0, 5)
+            for lab in itertools.product((1, 2), repeat=n)
+        ]
+        want = max(cands, key=total_score)
+        got = ctc_beam_search(
+            lp, beam_size=64, cutoff_top_n=0, charset=charset,
+            lm_scorer=lm_scorer, lm_eos=lm_eos,
+        )
+        assert got == "".join(charset[i] for i in want), f"trial {trial}"
+
+
+def test_beam_lm_none_unchanged():
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.beam import ctc_beam_search
+
+    rng = np.random.default_rng(7)
+    lp = np.log(rng.dirichlet(np.ones(4), size=6))
+    charset = ["-", "a", "b", "c"]
+    assert ctc_beam_search(lp, charset=charset) == ctc_beam_search(
+        lp, charset=charset, lm_scorer=None, lm_eos=None
+    )
