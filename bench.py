@@ -234,6 +234,32 @@ def main() -> None:
     thr_4n = BENCH_DOCS / t_big
     efficiency = (thr_4n / thr_n) / (CPUS / n_small)
 
+    # --- full-table training-data-op probes (perf-only; the contract
+    # queries bound their inputs for oracle parity, so dedup/ANN cost
+    # there is mostly fixed overhead — these run over the WHOLE
+    # documents/embeddings tables to measure the real operators) -------
+    def _fulltable_probes(spark):
+        import pyspark.sql.functions as SF
+
+        from davar_lab_ocr_spark.operators import dedup as D
+        from davar_lab_ocr_spark.operators import similarity as SIM
+        from davar_lab_ocr_spark.operators import textstats as TS
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        return {
+            "minhash_full": lambda: D.minhash_lsh_pairs(docs),
+            "simhash_full": lambda: D.simhash(docs),
+            "jaccard_full": lambda: D.ngram_jaccard_pairs(
+                docs, threshold=0.5, max_shingle_df=1000
+            ),
+            "near_dup_full": lambda: D.embedding_near_dup_pairs(emb, threshold=0.95),
+            "ann_full": lambda: SIM.lsh_topk(
+                emb.filter(SF.col("vec_id") % 50 == 0), emb, k=3, n_bits=8, multiprobe=True
+            ),
+            "bpe_full": lambda: TS.bpe_token_stats(docs),
+        }
+
     # --- headline analytics queries at full parallelism -------------------
     import __spark_entry__ as E
 
@@ -251,6 +277,11 @@ def main() -> None:
         # noop sink: forces full computation of every column, no IO,
         # and none of count()'s projection pruning
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    for name, mk in _fulltable_probes(spark).items():
+        t0 = time.time()
+        mk().write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     spark.stop()
 
