@@ -1196,7 +1196,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT piece) AS n_uniq_pieces,
                    round(avg(length(piece)), 4) AS avg_piece_len
             FROM pieces
-            WHERE NOT regexp_matches(piece, '^\\s+$')
+            WHERE NOT regexp_matches(piece, '^[{TS.BPE_WS}]+$')
             GROUP BY doc_id
         """,
         "doc_fingerprint": f"""

@@ -1,4 +1,4 @@
-"""CTC prefix beam search (no language model).
+"""CTC prefix beam search with optional shallow-fusion language model.
 
 The classic prefix beam search (public algorithm; reference wrapper
 ctc_converter.py:210-334 with beam_size=66, cutoff_top_n=2): per
@@ -58,15 +58,19 @@ def ctc_beam_search(
     def to_str(prefix):
         return "".join(charset[min(i, len(charset) - 1)] for i in prefix)
 
-    # prefix -> (p_b, p_nb); lm score tracked per prefix (path-invariant:
-    # it depends only on the prefix characters, so a single slot is exact)
+    # prefix -> (p_b, p_nb); lm score and decoded string carried per
+    # prefix (both are path-invariant — they depend only on the prefix
+    # characters — so a single slot per prefix is exact, and carrying
+    # the string incrementally avoids an O(len) rebuild per extension)
     beams: dict[tuple, tuple[float, float]] = {(): (0.0, NEG_INF)}
     lm: dict[tuple, float] = {(): 0.0}
+    strs: dict[tuple, str] = {(): ""}
     for t in range(t_steps):
         step = lp[t]
         tokens = np.argsort(-step)[:top_n]
         nxt: dict[tuple, tuple[float, float]] = {}
         nxt_lm: dict[tuple, float] = {}
+        nxt_strs: dict[tuple, str] = {}
 
         def upd(prefix, parent, tok=None, p_b=NEG_INF, p_nb=NEG_INF):
             ob, onb = nxt.get(prefix, (NEG_INF, NEG_INF))
@@ -74,9 +78,12 @@ def ctc_beam_search(
             if prefix not in nxt_lm:
                 if tok is None:
                     nxt_lm[prefix] = lm[parent]
+                    nxt_strs[prefix] = strs[parent]
                 else:
-                    inc = lm_scorer(to_str(parent), charset[min(tok, len(charset) - 1)]) if lm_scorer else 0.0
+                    ch = charset[min(tok, len(charset) - 1)]
+                    inc = lm_scorer(strs[parent], ch) if lm_scorer else 0.0
                     nxt_lm[prefix] = lm[parent] + inc
+                    nxt_strs[prefix] = strs[parent] + ch
 
         for prefix, (p_b, p_nb) in beams.items():
             total = _logaddexp(p_b, p_nb)
@@ -99,12 +106,13 @@ def ctc_beam_search(
         )[:beam_size]
         beams = dict(ranked)
         lm = {k: nxt_lm[k] for k, _ in ranked}
+        strs = {k: nxt_strs[k] for k, _ in ranked}
 
     def final_score(kv):
         prefix, (p_b, p_nb) = kv
         s = _logaddexp(p_b, p_nb) + lm[prefix]
         if lm_eos:
-            s += lm_eos(to_str(prefix))
+            s += lm_eos(strs[prefix])
         return s
 
     best = max(beams.items(), key=final_score)[0]

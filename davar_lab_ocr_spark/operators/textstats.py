@@ -103,8 +103,14 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k
 # GPT-2-family pretokenizer shape, simplified to a dialect both Java
 # regex (Spark) and RE2 (DuckDB) evaluate identically: contractions,
 # letter runs, digit runs, punctuation runs, each optionally preceded
-# by one space; remaining whitespace runs.
-BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# by one space; remaining whitespace runs. Whitespace is an EXPLICIT
+# class, not \s: Java's \s includes vertical tab, RE2's does not, and
+# that one character would silently break the oracle hash parity.
+BPE_WS = r"\t\n\x0B\f\r "
+BPE_SPLIT = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+    + r"| ?[^a-zA-Z0-9" + BPE_WS + r"]+|[" + BPE_WS + r"]+"
+)
 
 
 def bpe_tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -116,7 +122,7 @@ def bpe_tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT), F.lit(0))
     return (
         df.select(id_col, F.posexplode(pieces).alias("pos", "piece"))
-        .filter(~F.col("piece").rlike(r"^\s+$"))
+        .filter(~F.col("piece").rlike(r"^[" + BPE_WS + r"]+$"))
         .select(id_col, (F.col("pos") + 1).alias("ord"), "piece")
     )
 

@@ -120,14 +120,18 @@ def test_beam_with_lm_matches_brute_force():
         assert got == "".join(charset[i] for i in want), f"trial {trial}"
 
 
-def test_beam_lm_none_unchanged():
+def test_beam_zero_lm_equals_no_lm():
+    # a scorer that always returns 0 exercises the full LM bookkeeping
+    # path (per-prefix score + string carry + combined pruning key) and
+    # must be decode-identical to the no-LM path on every input
     import numpy as np
 
     from davar_lab_ocr_spark.functions.beam import ctc_beam_search
 
     rng = np.random.default_rng(7)
-    lp = np.log(rng.dirichlet(np.ones(4), size=6))
     charset = ["-", "a", "b", "c"]
-    assert ctc_beam_search(lp, charset=charset) == ctc_beam_search(
-        lp, charset=charset, lm_scorer=None, lm_eos=None
-    )
+    for _ in range(10):
+        lp = np.log(rng.dirichlet(np.ones(4), size=int(rng.integers(3, 9))))
+        assert ctc_beam_search(lp, charset=charset) == ctc_beam_search(
+            lp, charset=charset, lm_scorer=lambda p, c: 0.0, lm_eos=lambda p: 0.0
+        )
