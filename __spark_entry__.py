@@ -1710,7 +1710,8 @@ def oracle_sql() -> dict[str, str]:
         # hand-golden-tested single-process kernel; see
         # tools/make_expected_fixtures.py)
         "det_hmean_fixture": f"""
-            SELECT precision, recall, hmean
+            SELECT precision, recall, hmean,
+                   tiou_precision, tiou_recall, tiou_hmean
             FROM read_parquet('{FIXTURES}/expected_det_hmean.parquet')
         """,
         "e2e_hmean_fixture": f"""

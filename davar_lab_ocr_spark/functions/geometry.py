@@ -128,8 +128,11 @@ def _clip_polygon(subject: np.ndarray, cx0, cy0, cx1, cy1) -> np.ndarray:
     return np.array(out, dtype=np.float64) if out else np.zeros((0, 2))
 
 
-def convex_poly_intersection_area(poly_a, poly_b) -> float:
-    """Intersection area of two CONVEX polygons ([n,2] clockwise points)."""
+def convex_poly_clip(poly_a, poly_b) -> np.ndarray:
+    """Intersection POLYGON of two convex polygons ([n,2] points) via
+    Sutherland-Hodgman; returns [m,2] (possibly empty). Intersection of
+    convex polygons is convex, so the result can be clipped again —
+    the building block for multi-polygon union areas."""
     a = np.asarray(poly_a, dtype=np.float64).reshape(-1, 2)
     b = np.asarray(poly_b, dtype=np.float64).reshape(-1, 2)
     # ensure clockwise orientation of the clip polygon
@@ -139,9 +142,35 @@ def convex_poly_intersection_area(poly_a, poly_b) -> float:
     n = len(b)
     for i in range(n):
         if len(clipped) == 0:
-            return 0.0
+            break
         clipped = _clip_polygon(clipped, b[i][0], b[i][1], b[(i + 1) % n][0], b[(i + 1) % n][1])
-    return poly_area(clipped) if len(clipped) >= 3 else 0.0
+    return clipped if len(clipped) >= 3 else np.zeros((0, 2))
+
+
+def convex_poly_intersection_area(poly_a, poly_b) -> float:
+    """Intersection area of two CONVEX polygons ([n,2] clockwise points)."""
+    return poly_area(convex_poly_clip(poly_a, poly_b))
+
+
+def convex_union_area(polys: list[np.ndarray]) -> float:
+    """Area of the union of CONVEX polygons by inclusion-exclusion,
+    expressed as the recursion |p0 U rest| = |p0| + |U rest| -
+    |U (p0 n r for r in rest)| — every term stays convex (pairwise
+    Sutherland-Hodgman clips), so no general polygon-boolean library is
+    needed. Worst case exponential in len(polys), but empty clips prune
+    the recursion and the real inputs (ground-truth boxes overlapping
+    one detection, TIoU's Ot term) are a handful of polygons."""
+    ps = [np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in polys]
+    ps = [p for p in ps if len(p) >= 3 and poly_area(p) > 0]
+    if not ps:
+        return 0.0
+    head, rest = ps[0], ps[1:]
+    overlaps = []
+    for r in rest:
+        c = convex_poly_clip(head, r)
+        if len(c) >= 3 and poly_area(c) > 0:
+            overlaps.append(c)
+    return poly_area(head) + convex_union_area(rest) - convex_union_area(overlaps)
 
 
 def _signed_area(p: np.ndarray) -> float:

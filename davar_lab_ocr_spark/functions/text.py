@@ -142,7 +142,7 @@ E2E_MIN_LENGTH_CARE_WORD = 3
 _DICT_RANGES = (
     (ord("a"), ord("z")),
     (ord("A"), ord("Z")),
-    (ord("À"), ord("ǿ")),   # À..ƿ
+    (ord("À"), ord("ƿ")),   # À..ƿ (U+01BF; click letters U+01C0-U+01C3 excluded, e2e_hmean.py:191)
     (ord("Ǆ"), ord("ɿ")),   # Ǆ..ɿ
     (ord("Ά"), ord("Ͽ")),   # Ά..Ͽ
     (ord("-"), ord("-")),

@@ -26,7 +26,13 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
-from ..functions.geometry import poly_area, poly_iou, convex_poly_intersection_area
+from ..functions.geometry import (
+    convex_poly_clip,
+    convex_poly_intersection_area,
+    convex_union_area,
+    poly_area,
+    poly_iou,
+)
 
 _MATCH_SCHEMA = T.StructType(
     [
@@ -34,13 +40,69 @@ _MATCH_SCHEMA = T.StructType(
         T.StructField("matched", T.IntegerType()),
         T.StructField("care_det", T.IntegerType()),
         T.StructField("care_gt", T.IntegerType()),
+        T.StructField("matched_tiou_gt", T.DoubleType()),
+        T.StructField("matched_tiou_dt", T.DoubleType()),
     ]
 )
 
 
+def _tiou_recall_term(inter: float, union: float, area_g: float) -> float:
+    """Tightness-aware recall contribution of one matched (det, gt) pair
+    (hmean.py:96-117 funcCt/get_text_intersection_over_union_recall):
+    the IoU scaled by 1 - Ct/area(gt), where Ct is the gt area the
+    detection failed to cover (forgiven below 1%)."""
+    if area_g <= 0 or union <= 0:
+        return 0.0
+    ct = area_g - inter
+    f_ct = 1.0 if ct / area_g <= 0.01 else 1.0 - ct / area_g
+    return inter * f_ct / union
+
+
+def _tiou_precision_term(
+    det_poly: np.ndarray,
+    gt_poly: np.ndarray,
+    gt_idx: int,
+    gt_polys: list[np.ndarray],
+    inter: float,
+    union: float,
+) -> float:
+    """Tightness-aware precision contribution (hmean.py:119-165
+    funcOt/get_text_intersection_over_union_precision): IoU scaled by
+    1 - Ot/area(det), where Ot is the detection area overlapping OTHER
+    ground-truth boxes (outlier area) net of the part already inside the
+    matched gt. The reference's Polygon-library unions become
+    inclusion-exclusion over convex clips (convex_union_area).
+
+    Quirk preserved: the reference's "other gt" loop does NOT skip
+    don't-care polygons (only `i != gtNum`, hmean.py:140) — dontcare
+    boxes still contribute outlier area."""
+    area_d = poly_area(det_poly)
+    if area_d <= 0 or union <= 0:
+        return 0.0
+    in_det = []  # det n other_gt
+    in_det_and_gt = []  # det n matched_gt n other_gt
+    for i, other in enumerate(gt_polys):
+        if i == gt_idx:
+            continue
+        clip = convex_poly_clip(det_poly, other)
+        if poly_area(clip) <= 0:
+            continue
+        in_det.append(clip)
+        both = convex_poly_clip(clip, gt_poly)
+        if poly_area(both) > 0:
+            in_det_and_gt.append(both)
+    ot = convex_union_area(in_det) - convex_union_area(in_det_and_gt)
+    if ot <= 1.0e-10:
+        ot = 0.0
+    f_ot = 1.0 if ot / area_d <= 0.01 else 1.0 - ot / area_d
+    return inter * f_ot / union
+
+
 def _match_one_doc(doc_id: str, pred, gt, iou_thr=0.5, area_prec_thr=0.5):
     """Greedy 1-1 polygon match in (gt, det) index order (hmean.py
-    semantics; coordinates int-truncated as the reference does)."""
+    semantics; coordinates int-truncated as the reference does).
+    Alongside the standard match counts, accumulates the TIoU terms of
+    each matched pair (hmean.py:283-285 detMatched_tiouGt/Dt)."""
     gt_polys = [np.asarray(g["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for g in gt]
     det_polys = [
         np.asarray(d["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for d in pred
@@ -60,6 +122,7 @@ def _match_one_doc(doc_id: str, pred, gt, iou_thr=0.5, area_prec_thr=0.5):
     gt_used = np.zeros(len(gt_polys), dtype=bool)
     det_used = np.zeros(len(det_polys), dtype=bool)
     matched = 0
+    tiou_gt = tiou_dt = 0.0
     for i in range(len(gt_polys)):
         for j in range(len(det_polys)):
             if (
@@ -72,11 +135,19 @@ def _match_one_doc(doc_id: str, pred, gt, iou_thr=0.5, area_prec_thr=0.5):
                 gt_used[i] = True
                 det_used[j] = True
                 matched += 1
+                inter = convex_poly_intersection_area(det_polys[j], gt_polys[i])
+                union = poly_area(det_polys[j]) + poly_area(gt_polys[i]) - inter
+                tiou_gt += _tiou_recall_term(inter, union, poly_area(gt_polys[i]))
+                tiou_dt += _tiou_precision_term(
+                    det_polys[j], gt_polys[i], i, gt_polys, inter, union
+                )
     return {
         "doc_id": doc_id,
         "matched": matched,
         "care_det": len(det_polys) - len(dontcare_det),
         "care_gt": len(gt_polys) - len(dontcare_gt),
+        "matched_tiou_gt": tiou_gt,
+        "matched_tiou_dt": tiou_dt,
     }
 
 
@@ -89,7 +160,13 @@ def det_match_stage(pairs: DataFrame, iou_thr: float = 0.5, area_prec_thr: float
                 _match_one_doc(d, p, g, iou_thr, area_prec_thr)
                 for d, p, g in zip(pdf["doc_id"], pdf["pred"], pdf["gt"])
             ]
-            yield pd.DataFrame(rows, columns=["doc_id", "matched", "care_det", "care_gt"])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "matched", "care_det", "care_gt",
+                    "matched_tiou_gt", "matched_tiou_dt",
+                ],
+            )
 
     return pairs.mapInPandas(run, schema=_MATCH_SCHEMA)
 
@@ -248,24 +325,33 @@ def e2e_hmean(
 
 
 def det_hmean(pairs: DataFrame, iou_thr: float = 0.5, area_prec_thr: float = 0.5) -> DataFrame:
-    """Corpus P/R/Hmean — one row (precision, recall, hmean)."""
+    """Corpus P/R/Hmean plus the tightness-aware TIoU variants — one row
+    (precision, recall, hmean, tiou_precision, tiou_recall, tiou_hmean).
+    TIoU divides the per-match tightness sums by the same care counts
+    (hmean.py:335-338)."""
     per_doc = det_match_stage(pairs, iou_thr, area_prec_thr)
     agg = per_doc.agg(
         F.sum("matched").alias("m"),
         F.sum("care_det").alias("d"),
         F.sum("care_gt").alias("g"),
+        F.sum("matched_tiou_gt").alias("tg"),
+        F.sum("matched_tiou_dt").alias("td"),
     )
     p = F.when(F.col("d") > 0, F.col("m") / F.col("d")).otherwise(F.lit(0.0))
     r = F.when(F.col("g") > 0, F.col("m") / F.col("g")).otherwise(F.lit(0.0))
-    return agg.select(p.alias("p"), r.alias("r")).select(
+    tp = F.when(F.col("d") > 0, F.col("td") / F.col("d")).otherwise(F.lit(0.0))
+    tr = F.when(F.col("g") > 0, F.col("tg") / F.col("g")).otherwise(F.lit(0.0))
+
+    def hm(a, b):
+        return F.when(a + b > 0, 2 * a * b / (a + b)).otherwise(F.lit(0.0))
+
+    return agg.select(p.alias("p"), r.alias("r"), tp.alias("tp"), tr.alias("tr")).select(
         F.round("p", 6).alias("precision"),
         F.round("r", 6).alias("recall"),
-        F.round(
-            F.when(F.col("p") + F.col("r") > 0, 2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))).otherwise(
-                F.lit(0.0)
-            ),
-            6,
-        ).alias("hmean"),
+        F.round(hm(F.col("p"), F.col("r")), 6).alias("hmean"),
+        F.round("tp", 6).alias("tiou_precision"),
+        F.round("tr", 6).alias("tiou_recall"),
+        F.round(hm(F.col("tp"), F.col("tr")), 6).alias("tiou_hmean"),
     )
 
 

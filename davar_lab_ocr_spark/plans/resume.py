@@ -64,9 +64,16 @@ class SnapshotSink:
 
     def history(self) -> list[dict]:
         """The commit log, oldest first (the Iceberg snapshots-table
-        analog): one manifest per committed batch with counters;
-        batch_id breaks committed_at ties deterministically."""
-        return sorted(self.committed_batches(), key=lambda m: (m["committed_at"], m["batch_id"]))
+        analog): one manifest per committed batch with counters.
+        Ordered by the monotonic ``seq`` stamped at commit time — NOT by
+        ``committed_at``: a wall-clock step backwards between commits
+        would reorder a timestamp-sorted log and make an ``as_of`` cut
+        include a later batch. Legacy manifests without ``seq`` sort
+        first by (committed_at, batch_id)."""
+        return sorted(
+            self.committed_batches(),
+            key=lambda m: (m.get("seq", -1), m["committed_at"], m["batch_id"]),
+        )
 
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
         """Union of committed snapshots (uncommitted dirs invisible).
@@ -106,8 +113,13 @@ class SnapshotSink:
         finally:
             staged.unpersist()
 
+        # monotonic commit sequence (single-writer protocol, like
+        # Iceberg's snapshot sequence-number): next = max committed + 1
+        prior = self.committed_batches()
+        seq = max((m.get("seq", -1) for m in prior), default=-1) + 1
         manifest = {
             "batch_id": batch_id,
+            "seq": seq,
             "committed_at": time.time(),
             "n_docs": totals["n_docs"],
             "n_spans": int(totals["n_spans"] or 0),

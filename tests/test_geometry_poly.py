@@ -45,3 +45,37 @@ def test_intersection_orientation_invariance():
     for p in (a, ar):
         for q in (b, list(reversed(b))):
             assert convex_poly_intersection_area(p, q) == pytest.approx(25)
+
+
+def test_convex_union_area_goldens():
+    from davar_lab_ocr_spark.functions.geometry import convex_union_area
+
+    def sq(x0, y0, x1, y1):
+        return [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+
+    assert convex_union_area([]) == pytest.approx(0.0)
+    assert convex_union_area([sq(0, 0, 2, 2)]) == pytest.approx(4.0)
+    # chain of three squares: 4+4+4 - 1 - 1 - 0 (corner touch) + 0 = 10
+    assert convex_union_area(
+        [sq(0, 0, 2, 2), sq(1, 1, 3, 3), sq(2, 2, 4, 4)]
+    ) == pytest.approx(10.0)
+    # fully nested polygon contributes nothing
+    assert convex_union_area([sq(0, 0, 4, 4), sq(1, 1, 2, 2)]) == pytest.approx(16.0)
+
+
+def test_convex_union_area_matches_cell_counting():
+    """Random integer axis-aligned rects: union area == number of unit
+    cells covered (exact oracle for integer-coordinate rectangles)."""
+    from davar_lab_ocr_spark.functions.geometry import convex_union_area
+
+    rng = np.random.default_rng(97)
+    for trial in range(20):
+        n = int(rng.integers(1, 7))
+        rects = []
+        grid = np.zeros((24, 24), dtype=bool)
+        for _ in range(n):
+            x0, y0 = int(rng.integers(0, 18)), int(rng.integers(0, 18))
+            w, h = int(rng.integers(1, 7)), int(rng.integers(1, 7))
+            rects.append([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]])
+            grid[y0 : y0 + h, x0 : x0 + w] = True
+        assert convex_union_area(rects) == pytest.approx(float(grid.sum()), abs=1e-9)

@@ -206,3 +206,77 @@ def test_crf_viterbi_stage_chains_into_bio(spark):
     row = decoded.collect()[0]
     assert row["tags"] == ["B-PER", "I-PER", "O"]
     assert [(e["etype"], e["start"], e["end"]) for e in row["entities"]] == [("PER", 0, 2)]
+
+
+def test_det_hmean_tiou_partial_overlap(spark):
+    """Hand-computed TIoU golden (tightness < 1): det covers 80% of the
+    single gt. I=80, U=100, Ct=20 -> fCt=0.8 -> tiou_recall=0.64;
+    no other gt -> Ot=0 -> tiou_precision = I/U = 0.8."""
+    from davar_lab_ocr_spark.schemas import EVAL_PAIRS
+
+    def rpoly(x0, y0, x1, y1):
+        return [float(x0), float(y0), float(x1), float(y0),
+                float(x1), float(y1), float(x0), float(y1)]
+
+    rows = [{
+        "doc_id": "t",
+        "gt": [{"poly": rpoly(0, 0, 10, 10), "care": 1, "text": "a"}],
+        "pred": [{"poly": rpoly(0, 0, 8, 10), "conf": 0.9, "text": "a"}],
+    }]
+    out = det_hmean(spark.createDataFrame(rows, schema=EVAL_PAIRS)).collect()[0]
+    assert out["precision"] == pytest.approx(1.0)
+    assert out["recall"] == pytest.approx(1.0)
+    assert out["tiou_recall"] == pytest.approx(0.64, abs=1e-6)
+    assert out["tiou_precision"] == pytest.approx(0.8, abs=1e-6)
+    h = 2 * 0.64 * 0.8 / (0.64 + 0.8)
+    assert out["tiou_hmean"] == pytest.approx(round(h, 6), abs=1e-6)
+
+
+def test_det_hmean_tiou_outlier_gt(spark):
+    """TIoU precision penalty from a neighboring unmatched gt: det
+    (area 120) matches gt1 exactly (I=100, U=120) but also covers 10
+    units of gt2 -> Ot=10, fOt=1-10/120; tiou_dt = 100*(110/120)/120."""
+    from davar_lab_ocr_spark.schemas import EVAL_PAIRS
+
+    def rpoly(x0, y0, x1, y1):
+        return [float(x0), float(y0), float(x1), float(y0),
+                float(x1), float(y1), float(x0), float(y1)]
+
+    rows = [{
+        "doc_id": "t2",
+        "gt": [
+            {"poly": rpoly(0, 0, 10, 10), "care": 1, "text": "a"},
+            {"poly": rpoly(11, 0, 15, 10), "care": 1, "text": "b"},
+        ],
+        "pred": [{"poly": rpoly(0, 0, 12, 10), "conf": 0.9, "text": "a"}],
+    }]
+    out = det_hmean(spark.createDataFrame(rows, schema=EVAL_PAIRS)).collect()[0]
+    assert out["precision"] == pytest.approx(1.0)
+    assert out["recall"] == pytest.approx(0.5)
+    # recall term: Ct=0 -> fCt=1 -> 100/120; divided by care_gt=2
+    assert out["tiou_recall"] == pytest.approx(round(100 / 120 / 2, 6), abs=1e-6)
+    expected_dt = 100 * (1 - 10 / 120) / 120
+    assert out["tiou_precision"] == pytest.approx(round(expected_dt, 6), abs=1e-6)
+
+
+def test_tiou_outlier_area_nets_out_matched_gt_overlap(spark):
+    """The Ot term subtracts outlier overlap already inside the matched
+    gt: gt2 overlaps det ONLY inside gt1 -> Ot = 0 -> no penalty."""
+    from davar_lab_ocr_spark.schemas import EVAL_PAIRS
+
+    def rpoly(x0, y0, x1, y1):
+        return [float(x0), float(y0), float(x1), float(y0),
+                float(x1), float(y1), float(x0), float(y1)]
+
+    rows = [{
+        "doc_id": "t3",
+        "gt": [
+            {"poly": rpoly(0, 0, 10, 10), "care": 1, "text": "a"},
+            # nested inside gt1; its det-overlap is entirely inside gt1
+            {"poly": rpoly(2, 2, 4, 4), "care": 1, "text": "b"},
+        ],
+        "pred": [{"poly": rpoly(0, 0, 10, 10), "conf": 0.9, "text": "a"}],
+    }]
+    out = det_hmean(spark.createDataFrame(rows, schema=EVAL_PAIRS)).collect()[0]
+    # perfect match of gt1, Ot nets to zero -> tiou_dt term = I/U = 1.0
+    assert out["tiou_precision"] == pytest.approx(1.0, abs=1e-6)

@@ -150,18 +150,26 @@ def main():
     from davar_lab_ocr_spark.operators.metrics import _match_one_doc
 
     m = d = g = 0
+    tg = td = 0.0
     for row in E._eval_fixture_rows():
         r = _match_one_doc(row["doc_id"], row["pred"], row["gt"])
         m += r["matched"]
         d += r["care_det"]
         g += r["care_gt"]
+        tg += r["matched_tiou_gt"]
+        td += r["matched_tiou_dt"]
     p, rr = (m / d if d else 0.0), (m / g if g else 0.0)
     h = 2 * p * rr / (p + rr) if p + rr > 0 else 0.0
+    tp, trc = (td / d if d else 0.0), (tg / g if g else 0.0)
+    th = 2 * tp * trc / (tp + trc) if tp + trc > 0 else 0.0
     tbl = pa.table(
         {
             "precision": pa.array([round(p, 6)], pa.float64()),
             "recall": pa.array([round(rr, 6)], pa.float64()),
             "hmean": pa.array([round(h, 6)], pa.float64()),
+            "tiou_precision": pa.array([round(tp, 6)], pa.float64()),
+            "tiou_recall": pa.array([round(trc, 6)], pa.float64()),
+            "tiou_hmean": pa.array([round(th, 6)], pa.float64()),
         }
     )
     pq.write_table(tbl, os.path.join(FIXDIR, "expected_det_hmean.parquet"))
