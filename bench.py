@@ -119,10 +119,11 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
 
     ``primary``: optional ((n_key, 4n_key), cores_ratio, target) — stop
     early once the primary pair's efficiency estimate clears the
-    target. Host contention only ever DEPRESSES the ratio (wide jobs
-    starve first), so the estimator's job is to find one quiet window;
-    once found, more rounds cannot change the min-based answer downward
-    and only burn the budget."""
+    target AND the N-level min did not improve in the round that
+    cleared it. The stabilization guard matters: a later round can
+    still lower best[n] (the ratio's numerator) and DEPRESS the ratio,
+    so stopping on the ratio alone would bias the recorded efficiency
+    upward — we only stop when the N level has stopped improving."""
     import subprocess
 
     # sink to ramdisk when available: the measurement targets compute +
@@ -147,6 +148,7 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
     budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "240"))
     t0 = time.time()
     for rnd in range(rounds):
+        n_before = best[primary[0][0]] if primary else None
         for key, p in procs.items():
             p.stdin.write("RUN\n")
             p.stdin.flush()
@@ -156,7 +158,8 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
                     break
         if primary:
             (k_n, k_4n), ratio, target = primary
-            if best[k_n] / best[k_4n] / ratio >= target:
+            n_stable = best[k_n] == n_before  # no improvement this round
+            if n_stable and best[k_n] / best[k_4n] / ratio >= target:
                 break
         # time budget: under heavy external contention a round can take
         # 2-3x its quiet-window cost; stop after a complete round rather
@@ -247,7 +250,43 @@ def main() -> None:
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+        def seg_label_probe(n_maps: int = 64, h: int = 512, w: int = 512):
+            """Distributed component labeling over image-scale seg maps
+            (the r2 per-pixel BFS took seconds per map at this size;
+            the run-based union-find must take milliseconds). Maps are
+            generated INSIDE the stage from the row seed — nothing
+            image-sized crosses the driver."""
+            import pyarrow as pa
+            import pyspark.sql.types as ST
+
+            def run(batches):
+                import numpy as np
+
+                from davar_lab_ocr_spark.operators.spotting import connected_components
+
+                for batch in batches:
+                    idxs = batch.column("id").to_pylist()
+                    counts = []
+                    for i in idxs:
+                        rng = np.random.default_rng(1000 + i)
+                        seg = rng.random((h, w)) < 0.35
+                        counts.append(int(connected_components(seg).max()))
+                    yield pa.RecordBatch.from_arrays(
+                        [batch.column("id"), pa.array(counts, type=pa.int64())],
+                        names=["id", "n_components"],
+                    )
+
+            return spark.range(n_maps).mapInArrow(
+                run,
+                schema=ST.StructType(
+                    [ST.StructField("id", ST.LongType()),
+                     ST.StructField("n_components", ST.LongType())]
+                ),
+            )
+
         return {
+            "seg_label_full": seg_label_probe,
             "minhash_full": lambda: D.minhash_lsh_pairs(docs),
             "simhash_full": lambda: D.simhash(docs),
             "jaccard_full": lambda: D.ngram_jaccard_pairs(
@@ -270,14 +309,22 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     qs["tokenize_spans"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        # noop sink: forces full computation of every column, no IO,
-        # and none of count()'s projection pruning
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # per-query min over interleaved full-suite passes: the host's
+    # run-to-run noise is 2-3x (BENCH.md), so a single sample confounds
+    # plan cost with weather; whole-suite passes (not back-to-back
+    # repeats of one query) make each query's samples land in different
+    # contention windows
+    query_rounds = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "3"))
+    for _ in range(query_rounds):
+        for name in HEADLINE:
+            if name not in qs:
+                continue
+            t0 = time.time()
+            # noop sink: forces full computation of every column, no IO,
+            # and none of count()'s projection pruning
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), dt)
 
     # separate key, NOT summed into `value`: these are perf-only
     # observations over the whole tables; folding them into the suite

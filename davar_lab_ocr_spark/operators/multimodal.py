@@ -3,10 +3,13 @@
 Media travel as opaque ``binary`` columns (or ``media_ref`` pointers)
 with typed metadata, mirroring the reference's image source
 (DavarLoadImageFromFile, davar_loading.py:26-88) and crop/transform
-utils (loading_utils.py:105-200). The png/jpeg CODECS are not in this
-container, so payloads are deterministic fake fetches carrying a raw
-(h, w, c) header + uncompressed pixel bytes (NotImplementedError in
-strict mode marks where the codec call would go) — but the pixel
+utils (loading_utils.py:105-200). Payloads are REAL PNG bytes decoded
+by the pure-stdlib codec in functions/png.py (zlib inflate + per-row
+unfilter); the object-store fetch itself is a deterministic fake
+(fake_payload encodes pseudo-random pixels as PNG). JPEG entropy
+decode stays honestly gated (NotImplementedError — not worth
+reimplementing from scratch); a legacy raw (h, w, c)-header payload
+form is still accepted for hand-crafted test inputs. The pixel
 KERNELS (quad crop, perspective rectification, bilinear resize) are
 real pure-numpy implementations (functions/image.py), and the
 Spark-side contract (schema, batch shape, partitioning, UDF signature)
@@ -36,28 +39,65 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
-STRICT = False  # True -> decode raises NotImplementedError (no codecs here)
+STRICT = False  # True -> non-PNG decode raises instead of None
+
+_JPEG_SOI = b"\xff\xd8\xff"
 
 
 def fake_payload(media_ref: str) -> bytes:
-    """Deterministic stand-in for an object-store fetch: an 8-byte
-    header carrying (h, w, c) followed by the full h*w*c uncompressed
-    pixel buffer, pseudo-randomly seeded by the ref — so decode and the
-    downstream pixel kernels have a real image-shaped array to work on."""
+    """Deterministic stand-in for an object-store fetch: REAL PNG bytes
+    (encoded by the stdlib codec in functions/png.py) whose dimensions
+    and pseudo-random pixels are seeded by the ref — the same (h, w, c)
+    and pixel values as earlier rounds' raw-header payloads, so decode
+    and the downstream pixel kernels are bit-compatible, but the codec
+    boundary is now exercised for real."""
+    from ..functions.png import png_encode
+
     digest = hashlib.md5(media_ref.encode()).digest()
     h = 32 + digest[0] % 96
     w = 32 + digest[1] % 96
     c = 1 + digest[2] % 3
-    header = bytes([h, w, c]) + b"\x00" * 5
     rng = np.random.default_rng(int.from_bytes(digest[:4], "little"))
-    return header + rng.integers(0, 256, size=h * w * c, dtype=np.uint8).tobytes()
+    pixels = rng.integers(0, 256, size=h * w * c, dtype=np.uint8).reshape(h, w, c)
+    return png_encode(pixels)
+
+
+def payload_meta(payload: bytes) -> tuple[int, int, int] | None:
+    """(h, w, c) without decoding pixels: PNG reads IHDR only; the
+    legacy raw-header form reads bytes 0-2; JPEG is gated."""
+    if payload is None or len(payload) < 8:
+        return None
+    from ..functions import png as P
+
+    if payload.startswith(P.MAGIC):
+        try:
+            return P.png_meta(payload)
+        except (ValueError, NotImplementedError):
+            return None
+    if payload.startswith(_JPEG_SOI):
+        if STRICT:
+            raise NotImplementedError("JPEG entropy decode not implemented (no codec libs)")
+        return None
+    return payload[0], payload[1], payload[2]
 
 
 def payload_to_array(payload: bytes) -> np.ndarray | None:
-    """Parse a fetched payload into an (h, w, c) uint8 array. This is
-    the codec boundary: for real png/jpeg bytes an imdecode call would
-    replace the reshape."""
+    """Parse a fetched payload into an (h, w, c) uint8 array. PNG bytes
+    go through the real stdlib decoder; the legacy raw-header form
+    ((h, w, c) byte header + uncompressed pixels) is kept for
+    hand-crafted test payloads; JPEG is honestly gated."""
     if payload is None or len(payload) < 8:
+        return None
+    from ..functions import png as P
+
+    if payload.startswith(P.MAGIC):
+        try:
+            return P.png_decode(payload)
+        except (ValueError, NotImplementedError):
+            return None
+    if payload.startswith(_JPEG_SOI):
+        if STRICT:
+            raise NotImplementedError("JPEG entropy decode not implemented (no codec libs)")
         return None
     h, w, c = payload[0], payload[1], payload[2]
     body = np.frombuffer(payload, dtype=np.uint8, offset=8)
@@ -84,9 +124,10 @@ def fetch_media_stage(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 
 
 def decode_media_stage(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """binary payload -> (height, width, n_channels) metadata. The real
-    image decode would live exactly here (one cv2/PIL call per element
-    of the Arrow batch); STRICT mode raises to mark the boundary."""
+    """binary payload -> (height, width, n_channels) metadata. PNG
+    payloads parse the real IHDR (no pixel inflate — the metadata-only
+    fast path); legacy raw-header payloads read their 3-byte header;
+    JPEG is gated (STRICT raises, otherwise null metadata)."""
     meta_fields = [
         T.StructField("m_height", T.IntegerType()),
         T.StructField("m_width", T.IntegerType()),
@@ -95,16 +136,15 @@ def decode_media_stage(df: DataFrame, payload_col: str = "payload") -> DataFrame
     out_schema = T.StructType(df.schema.fields + meta_fields)
 
     def run(batches):
-        if STRICT:
-            raise NotImplementedError("image codecs unavailable in this environment")
         for batch in batches:
             payloads = batch.column(payload_col).to_pylist()
             hs, ws, cs = [], [], []
             for p in payloads:
-                if p is None or len(p) < 3:
+                meta = payload_meta(p)
+                if meta is None:
                     hs.append(None), ws.append(None), cs.append(None)
                 else:
-                    hs.append(p[0]), ws.append(p[1]), cs.append(p[2])
+                    hs.append(meta[0]), ws.append(meta[1]), cs.append(meta[2])
             arrays = [batch.column(i) for i in range(batch.num_columns)]
             yield pa.RecordBatch.from_arrays(
                 arrays
@@ -146,8 +186,6 @@ def transform_media_stage(
     out_schema = T.StructType(df.schema.fields + meta_fields)
 
     def run(batches):
-        if STRICT:
-            raise NotImplementedError("image codecs unavailable in this environment")
         for batch in batches:
             payloads = batch.column(payload_col).to_pylist()
             quads = batch.column(quad_col).to_pylist() if quad_col else [None] * len(payloads)

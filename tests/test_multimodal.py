@@ -18,12 +18,17 @@ def test_media_pipeline_deterministic(spark):
     out = decode_media_stage(fetch_media_stage(df))
     rows = out.collect()
     assert len(rows) == 51
+    import hashlib
+
     for r in rows:
         if r["media_ref"]:
             want = fake_payload(r["media_ref"])
             assert bytes(r["payload"]) == want
-            assert r["m_height"] == want[0] and r["m_width"] == want[1]
-            assert 1 <= r["m_channels"] <= 3
+            assert bytes(r["payload"]).startswith(b"\x89PNG")  # real codec bytes
+            digest = hashlib.md5(r["media_ref"].encode()).digest()
+            assert r["m_height"] == 32 + digest[0] % 96
+            assert r["m_width"] == 32 + digest[1] % 96
+            assert r["m_channels"] == 1 + digest[2] % 3
         else:
             assert r["payload"] is None and r["m_height"] is None
 

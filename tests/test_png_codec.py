@@ -1,0 +1,75 @@
+"""Pure-stdlib PNG codec tests: roundtrips across every filter type and
+channel count, metadata fast path, and gate behavior."""
+
+import numpy as np
+import pytest
+
+from davar_lab_ocr_spark.functions.png import png_decode, png_encode, png_meta
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_all_filters_and_channels(channels, filter_type):
+    rng = np.random.default_rng(10 * channels + filter_type)
+    arr = rng.integers(0, 256, size=(13, 17, channels), dtype=np.uint8)
+    data = png_encode(arr, filter_type=filter_type)
+    assert png_meta(data) == (13, 17, channels)
+    out = png_decode(data)
+    assert (out == arr).all()
+
+
+def test_gradient_image_roundtrip():
+    # smooth gradients are where Sub/Average/Paeth filters actually bite
+    y, x = np.mgrid[0:40, 0:60]
+    arr = np.stack([(x * 4) % 256, (y * 3) % 256, (x + y) % 256], axis=-1).astype(np.uint8)
+    for ft in range(5):
+        assert (png_decode(png_encode(arr, filter_type=ft)) == arr).all()
+
+
+def test_grayscale_2d_input():
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = png_decode(png_encode(arr))
+    assert out.shape == (8, 8, 1)
+    assert (out[:, :, 0] == arr).all()
+
+
+def test_meta_rejects_non_png():
+    with pytest.raises(ValueError):
+        png_meta(b"\xff\xd8\xffjpegdata")
+
+
+def test_unsupported_shapes_gated():
+    import struct
+    import zlib
+
+    from davar_lab_ocr_spark.functions.png import MAGIC, _chunk
+
+    # 16-bit depth IHDR must raise NotImplementedError, not mis-decode
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    data = MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        png_meta(data)
+
+
+def test_fake_payload_is_real_png_with_stable_dims():
+    """fake_payload now emits real PNG; dims/pixels still follow the
+    md5 arithmetic the media_decode oracle reproduces in SQL."""
+    import hashlib
+
+    from davar_lab_ocr_spark.operators.multimodal import (
+        fake_payload,
+        payload_meta,
+        payload_to_array,
+    )
+
+    ref = "media://doc/42.png"
+    payload = fake_payload(ref)
+    assert payload.startswith(b"\x89PNG")
+    digest = hashlib.md5(ref.encode()).digest()
+    want = (32 + digest[0] % 96, 32 + digest[1] % 96, 1 + digest[2] % 3)
+    assert payload_meta(payload) == want
+    arr = payload_to_array(payload)
+    assert arr.shape == want
+    rng = np.random.default_rng(int.from_bytes(digest[:4], "little"))
+    expect = rng.integers(0, 256, size=want[0] * want[1] * want[2], dtype=np.uint8)
+    assert (arr.reshape(-1) == expect).all()
