@@ -427,7 +427,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("event_id") % 3 == 0).cast("int").alias("matched"),
             "event_id",
         )
-        return M.eval_map(scored, id_col="event_id")
+        # gt_counts is a REAL side table (annotation totals), not the
+        # match total: events with id % 2 == 0 play the ground truth,
+        # so unmatched gt correctly deflates each class's AP
+        gt_counts = ev.groupBy(F.col("event_type").alias("cls")).agg(
+            F.sum((F.col("event_id") % 2 == 0).cast("int")).alias("n_gt")
+        )
+        return M.eval_map(scored, id_col="event_id", gt_counts=gt_counts)
 
     q["map_sweep"] = map_sweep
 
@@ -439,7 +445,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("event_type") == "purchase").cast("int").alias("matched"),
             "event_id",
         )
-        return M.eval_recalls(scored, budgets=[5, 20, 100], id_col="event_id")
+        # explicit gt total: purchases plus the id%11==0 events that no
+        # proposal ever covered — the denominator the reference takes
+        # from annotations
+        n_gt = ev.agg(
+            F.sum(
+                ((F.col("event_type") == "purchase") | (F.col("event_id") % 11 == 0))
+                .cast("int")
+            ).alias("n_gt")
+        )
+        return M.eval_recalls(scored, budgets=[5, 20, 100], id_col="event_id", n_gt=n_gt)
 
     q["recall_at_k"] = recall_at_k
 
@@ -1512,7 +1527,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ),
             s AS (SELECT cls, sum(cum::double / rank) AS s FROM ranked WHERE m = 1 GROUP BY cls),
-            g AS (SELECT cls, sum(m) AS n_gt FROM scored GROUP BY cls),
+            g AS (SELECT cls, sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_gt
+                  FROM scored GROUP BY cls),
             per_class AS (
                 SELECT g.cls, round(coalesce(s.s, 0) / greatest(g.n_gt, 1), 6) AS ap
                 FROM g LEFT JOIN s ON g.cls = s.cls
@@ -1533,7 +1549,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ),
             t AS (
-                SELECT sum(m) AS n_gt,
+                SELECT (SELECT sum(CASE WHEN event_type = 'purchase'
+                                          OR event_id % 11 = 0 THEN 1 ELSE 0 END)
+                        FROM events) AS n_gt,
                        sum(CASE WHEN rk <= 5 THEN m ELSE 0 END) AS hit_5,
                        sum(CASE WHEN rk <= 20 THEN m ELSE 0 END) AS hit_20,
                        sum(CASE WHEN rk <= 100 THEN m ELSE 0 END) AS hit_100

@@ -17,6 +17,61 @@ import numpy as np
 
 NEG_INF = -float("inf")
 
+_END = "\0"  # trie terminal marker
+
+
+def lexicon_lm(words: list[str], weight: float = 1.0, oov_log_prob: float = -8.0):
+    """Build shallow-fusion (lm_scorer, lm_eos) hooks from a word list —
+    the lexicon-corrected decode intent of the reference's vocabulary
+    filter (davar_videotext/tools/filter.py:88-105 picks the nearest
+    lexicon word post-hoc; fusing the lexicon INTO the beam biases the
+    search toward lexicon words during decoding instead).
+
+    The lexicon becomes a prefix trie. Extending a prefix along the
+    trie scores log(1/branching) at that node (a proper next-char
+    distribution, uniform over children plus the stop symbol at word
+    ends); stepping off the trie scores ``oov_log_prob`` per character,
+    as does ending at a non-word. ``weight`` is the fusion weight
+    lambda. Matching is case-insensitive (the reference uppercases
+    before lexicon comparison, filter.py:57).
+
+    At cluster scale the word list rides to executors as a broadcast
+    variable and the trie builds once per worker — it is plain python
+    data, so nothing here needs Spark to test."""
+    import math
+
+    root: dict = {}
+    for w in words:
+        node = root
+        for ch in w.upper():
+            node = node.setdefault(ch, {})
+        node[_END] = {}
+
+    cache: dict[str, dict | None] = {"": root}
+
+    def node_for(prefix: str):
+        if prefix in cache:
+            return cache[prefix]
+        parent = node_for(prefix[:-1])
+        node = parent.get(prefix[-1].upper()) if parent is not None else None
+        cache[prefix] = node
+        return node
+
+    def scorer(prefix: str, ch: str) -> float:
+        node = node_for(prefix)
+        child = node.get(ch.upper()) if node is not None else None
+        if child is None:
+            return weight * oov_log_prob
+        return weight * -math.log(len(node))
+
+    def eos(prefix: str) -> float:
+        node = node_for(prefix)
+        if node is None or _END not in node:
+            return weight * oov_log_prob
+        return weight * -math.log(len(node))
+
+    return scorer, eos
+
 
 def _logaddexp(a: float, b: float) -> float:
     if a == NEG_INF:

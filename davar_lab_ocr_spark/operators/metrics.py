@@ -471,11 +471,22 @@ def eval_map(
     the reference's davar_custom.py:384-390, which delegates to mmdet's
     eval_map — reimplemented as per-class two-phase ranked cumsum).
 
-    ``gt_counts``: optional (class_col, n_gt) frame giving the ground-
-    truth count per class (unmatched gt lower recall); defaults to the
-    per-class match total in ``scored``. Returns one row per class
-    (cls, ap) plus a final row cls='__mean__' carrying the mAP.
+    ``gt_counts`` is REQUIRED: a (class_col, n_gt) frame with the true
+    per-class annotation counts. Deriving the denominator from the
+    match flags in ``scored`` would silently exclude ground truth no
+    detection ever matched and overstate AP (the reference takes gt
+    counts from annotations, not detections); callers who really want
+    the matched-only variant can pass
+    ``scored.groupBy(cls).agg(sum(matched).alias('n_gt'))`` explicitly.
+    Returns one row per class (cls, ap) plus a final row
+    cls='__mean__' carrying the mAP.
     """
+    if gt_counts is None:
+        raise ValueError(
+            "eval_map requires gt_counts (class_col, n_gt): the per-class "
+            "annotation totals. A denominator derived from matched flags "
+            "excludes unmatched ground truth and overstates AP."
+        )
     ranked = ranked_detections(
         scored, conf_col, match_col, id_col, n_buckets, group_cols=[class_col]
     )
@@ -484,11 +495,6 @@ def eval_map(
         .groupBy(class_col)
         .agg(F.sum(F.col("cum_correct") / F.col("rank")).alias("s"))
     )
-    if gt_counts is None:
-        gt_counts = (
-            scored.groupBy(class_col)
-            .agg(F.sum(F.col(match_col).cast("int")).alias("n_gt"))
-        )
     per_class = (
         gt_counts.join(s, class_col, "left")
         .select(
@@ -511,6 +517,7 @@ def eval_recalls(
     conf_col: str = "conf",
     match_col: str = "matched",
     id_col: str | None = None,
+    n_gt: "int | DataFrame | None" = None,
 ) -> DataFrame:
     """Proposal recall at top-k budgets (davar_custom.py:392-396 ->
     mmdet eval_recalls): per image, rank proposals by confidence and for
@@ -518,6 +525,12 @@ def eval_recalls(
     matched proposal within the top k. One row per budget (budget,
     recall). The per-image window is naturally partitioned (no global
     sort); budgets evaluate in one pass via conditional aggregation.
+
+    ``n_gt``: the TRUE ground-truth total — an int, or a 1-row frame
+    with column n_gt (stays lazy). Strongly encouraged: without it the
+    denominator falls back to the number of matched proposals, which
+    excludes ground truth no proposal covered — an UPPER BOUND on
+    recall, not recall (the reference counts gt from annotations).
     """
     order = [F.col(conf_col).desc()] + ([F.col(id_col).asc()] if id_col else [])
     w = Window.partitionBy(group_col).orderBy(*order)
@@ -527,7 +540,12 @@ def eval_recalls(
         F.sum(F.when(F.col("rk") <= k, m).otherwise(F.lit(0))).alias(f"hit_{k}")
         for k in budgets
     ]
-    totals = rk.agg(F.sum(m).alias("n_gt"), *aggs)
+    if n_gt is None:
+        totals = rk.agg(F.sum(m).alias("n_gt"), *aggs)
+    elif isinstance(n_gt, DataFrame):
+        totals = rk.agg(*aggs).crossJoin(F.broadcast(n_gt.select("n_gt")))
+    else:
+        totals = rk.agg(*aggs).withColumn("n_gt", F.lit(int(n_gt)))
     rows = [
         totals.select(
             F.lit(k).alias("budget"),

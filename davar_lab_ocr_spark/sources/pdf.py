@@ -1,11 +1,15 @@
 """Minimal PDF text extraction (the "PDF parse" face of the north
 rule) — pure stdlib: zlib for FlateDecode, regex over content streams.
 
-Scope: PDFs whose text is drawn with the standard `BT ... Tf ... Td
-(text) Tj ... ET` operator sequence and whose content streams are
-uncompressed or FlateDecode — the shape ``make_simple_pdf`` writes and
-the overwhelmingly common case for digitally-born documents. Encrypted
-PDFs, CID fonts, and TJ-array kerning are out of scope (a real deploy
+Scope: PDFs whose text is drawn with the standard text operators —
+`Tf` (font size), `Tm` (text matrix; position from its e/f terms),
+`Td`/`TD` (relative line moves composed onto the line matrix, per the
+spec), `Tj` (show string) and `TJ` (show array: string runs
+concatenated, kern numbers ignored) — in uncompressed or FlateDecode
+content streams. That covers the overwhelmingly common digitally-born
+shapes, including the `[(str) kern (str)] TJ` + `Tm` form most
+generators emit. Encrypted PDFs, CID/Type0 fonts, and full CTM
+composition (rotated/scaled text) are out of scope (a real deploy
 would swap ``pdf_to_spans_py`` for a library call; the Spark stage and
 span contract stay identical).
 
@@ -31,9 +35,12 @@ from pyspark.sql import DataFrame
 def make_simple_pdf(pages: list[list[tuple[float, float, float, str]]],
                     compress: bool = True) -> bytes:
     """Write a minimal PDF 1.4: one content stream per page, each text
-    item (x, y, font_size, text) as a BT/Td/Tj block. Text must not
-    contain backslashes or parentheses (escaping kept out of scope on
-    the writer; the PARSER handles escapes)."""
+    item (x, y, font_size, text) positioned with an absolute `Tm`
+    matrix and shown as a `TJ` array with a kern split (the dominant
+    real-world generator shape) — long items split into two kerned
+    string runs, short ones use plain `Tj`. Text must not contain
+    backslashes or parentheses (escaping kept out of scope on the
+    writer; the PARSER handles escapes)."""
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -46,7 +53,13 @@ def make_simple_pdf(pages: list[list[tuple[float, float, float, str]]],
     for items in pages:
         parts = [b"BT"]
         for x, y, size, text in items:
-            parts.append(f"/F1 {size:g} Tf {x:g} {y:g} Td ({text}) Tj".encode())
+            pos = f"/F1 {size:g} Tf 1 0 0 1 {x:g} {y:g} Tm".encode()
+            if len(text) > 8:
+                cut = len(text) // 2
+                show = f"[({text[:cut]}) -28 ({text[cut:]})] TJ".encode()
+            else:
+                show = f"({text}) Tj".encode()
+            parts.append(pos + b" " + show)
         parts.append(b"ET")
         stream = b"\n".join(parts)
         if compress:
@@ -99,11 +112,20 @@ def make_simple_pdf(pages: list[list[tuple[float, float, float, str]]],
 # the whole page silently fails to inflate
 _STREAM_HDR_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+_NUM = rb"-?[\d.]+"
+_STR = rb"\((?:\\.|[^()\\])*\)"
+# sequential text-operator scanner: each alternative captures one op;
+# ops are applied IN STREAM ORDER so Td composes and Tm overrides the
+# way the spec says (PDF 32000-1 §9.4.2)
 _TEXT_OP_RE = re.compile(
-    rb"(?:/\w+\s+(?P<size>[\d.]+)\s+Tf\s+)?"
-    rb"(?P<x>-?[\d.]+)\s+(?P<y>-?[\d.]+)\s+Td\s*"
-    rb"\((?P<text>(?:\\.|[^()\\])*)\)\s*Tj"
+    rb"(?P<bt>BT)"
+    rb"|/\w+\s+(?P<tf>" + _NUM + rb")\s+Tf"
+    rb"|(?P<tm>(?:" + _NUM + rb"\s+){5}" + _NUM + rb")\s+Tm"
+    rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM + rb")\s+T[dD]"
+    rb"|(?P<tj>" + _STR + rb")\s*Tj"
+    rb"|\[(?P<tjarr>(?:" + _STR + rb"|" + _NUM + rb"|\s+)*)\]\s*TJ"
 )
+_STR_RE = re.compile(_STR)
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t",
             b"(": b"(", b")": b")", b"\\": b"\\"}
 _ESCAPE_RE = re.compile(rb"\\(.)", re.S)
@@ -138,13 +160,30 @@ def pdf_to_spans_py(pdf: bytes, title_min_size: float = 18.0) -> list[dict]:
         if b"BT" not in data:
             continue
         size = 12.0
+        x = y = 0.0
         for t in _TEXT_OP_RE.finditer(data):
-            if t.group("size"):
-                size = float(t.group("size"))
-            items.append(
-                (page, -float(t.group("y")), float(t.group("x")), size,
-                 _unescape(t.group("text")))
-            )
+            if t.group("bt"):
+                x = y = 0.0  # BT resets the text/line matrices to identity
+            elif t.group("tf"):
+                size = float(t.group("tf"))
+            elif t.group("tm"):
+                # position = translation part (e, f) of the matrix
+                nums = t.group("tm").split()
+                x, y = float(nums[4]), float(nums[5])
+            elif t.group("tdx"):
+                # Td/TD translate the LINE matrix relative to its
+                # current origin (cumulative), not absolutely
+                x += float(t.group("tdx"))
+                y += float(t.group("tdy"))
+            elif t.group("tj"):
+                items.append((page, -y, x, size, _unescape(t.group("tj")[1:-1])))
+            elif t.group("tjarr") is not None:
+                # TJ: concatenate string runs, ignore kern numbers
+                text = "".join(
+                    _unescape(m.group(0)[1:-1])
+                    for m in _STR_RE.finditer(t.group("tjarr"))
+                )
+                items.append((page, -y, x, size, text))
         page += 1
     items.sort(key=lambda it: (it[0], it[1], it[2]))
     return [

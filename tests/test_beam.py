@@ -135,3 +135,72 @@ def test_beam_zero_lm_equals_no_lm():
         assert ctc_beam_search(lp, charset=charset) == ctc_beam_search(
             lp, charset=charset, lm_scorer=lambda p, c: 0.0, lm_eos=lambda p: 0.0
         )
+
+
+def _dist(pairs, v):
+    """log-prob row over vocabulary size v from {id: prob} (rest uniform
+    on the leftover mass)."""
+    import math
+
+    rest = (1.0 - sum(pairs.values())) / (v - len(pairs))
+    return [math.log(pairs.get(i, rest)) for i in range(v)]
+
+
+def test_lexicon_fused_beam_recovers_lexicon_word():
+    """Greedy (and no-LM beam) read 'cax'; fusing the lexicon trie
+    recovers 'cat' — the reference's lexicon-corrected decode intent."""
+    from davar_lab_ocr_spark.functions.beam import ctc_beam_search, lexicon_lm
+    from davar_lab_ocr_spark.functions.text import CTC_CHARSET
+
+    v = len(CTC_CHARSET)
+    c, a, t, x = (CTC_CHARSET.index(ch) for ch in "catx")
+    lp = np.array([
+        _dist({c: 0.95}, v),
+        _dist({a: 0.95}, v),
+        _dist({x: 0.55, t: 0.42}, v),
+    ])
+    assert ctc_beam_search(lp, beam_size=8, cutoff_top_n=4) == "cax"
+    scorer, eos = lexicon_lm(["cat", "dog"], weight=1.0)
+    fused = ctc_beam_search(
+        lp, beam_size=8, cutoff_top_n=4, lm_scorer=scorer, lm_eos=eos
+    )
+    assert fused == "cat"
+
+
+def test_lexicon_lm_scores():
+    import math
+
+    from davar_lab_ocr_spark.functions.beam import lexicon_lm
+
+    scorer, eos = lexicon_lm(["cat", "car", "dog"], weight=1.0, oov_log_prob=-8.0)
+    # root has children {c, d}: extending "" with 'c' costs log(1/2)
+    assert scorer("", "c") == pytest.approx(-math.log(2))
+    # "ca" -> {t, r}: two children
+    assert scorer("ca", "t") == pytest.approx(-math.log(2))
+    # off-trie characters pay the OOV penalty
+    assert scorer("ca", "z") == pytest.approx(-8.0)
+    assert scorer("zz", "z") == pytest.approx(-8.0)
+    # EOS at a full word is log(1/branching-at-terminal); 'cat' node has
+    # only the stop symbol
+    assert eos("cat") == pytest.approx(0.0)
+    assert eos("ca") == pytest.approx(-8.0)
+    # case-insensitive, matching the reference's uppercase comparison
+    assert scorer("CA", "T") == pytest.approx(-math.log(2))
+
+
+def test_lexicon_fusion_does_not_override_confident_evidence():
+    """A strongly-supported OOV string must survive fusion (the LM
+    biases, it does not dictate)."""
+    from davar_lab_ocr_spark.functions.beam import ctc_beam_search, lexicon_lm
+    from davar_lab_ocr_spark.functions.text import CTC_CHARSET
+
+    v = len(CTC_CHARSET)
+    z, x, q = (CTC_CHARSET.index(ch) for ch in "zxq")
+    lp = np.array([
+        _dist({z: 0.999}, v),
+        _dist({x: 0.999}, v),
+        _dist({q: 0.999}, v),
+    ])
+    scorer, eos = lexicon_lm(["cat"], weight=0.1)
+    assert ctc_beam_search(lp, beam_size=8, cutoff_top_n=4,
+                           lm_scorer=scorer, lm_eos=eos) == "zxq"

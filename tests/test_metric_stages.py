@@ -139,10 +139,20 @@ def test_eval_map_per_class_and_mean(spark):
         ("B", 0.9, 0, 3), ("B", 0.8, 1, 4),
     ]
     df = spark.createDataFrame(rows, "cls string, conf double, matched int, did int")
-    got = {r["cls"]: r["ap"] for r in eval_map(df, id_col="did").collect()}
+    gt = spark.createDataFrame([("A", 2), ("B", 1)], "cls string, n_gt int")
+    got = {r["cls"]: r["ap"] for r in eval_map(df, id_col="did", gt_counts=gt).collect()}
     assert got["A"] == 0.833333
     assert got["B"] == 0.5
     assert got["__mean__"] == round((0.833333 + 0.5) / 2, 6)
+
+    # unmatched ground truth must deflate AP (gt says 4 for A, only 2 matched)
+    gt2 = spark.createDataFrame([("A", 4), ("B", 1)], "cls string, n_gt int")
+    got2 = {r["cls"]: r["ap"] for r in eval_map(df, id_col="did", gt_counts=gt2).collect()}
+    assert got2["A"] == round((1 / 1 + 2 / 3) / 4, 6)
+
+    # gt_counts is required: the matched-flag default silently overstated AP
+    with pytest.raises(ValueError, match="gt_counts"):
+        eval_map(df, id_col="did")
 
 
 def test_eval_recalls_budgets(spark):
@@ -158,6 +168,16 @@ def test_eval_recalls_budgets(spark):
     assert got[1] == round(1 / 3, 6)
     assert got[2] == round(2 / 3, 6)
     assert got[3] == 1.0
+
+    # explicit n_gt (annotations say 4; one gt was never proposed):
+    # recall is measured against the true total, as an int or a 1-row frame
+    got4 = {r["budget"]: r["recall"] for r in
+            eval_recalls(df, [3], id_col="did", n_gt=4).collect()}
+    assert got4[3] == 0.75
+    gtdf = spark.createDataFrame([(4,)], "n_gt int")
+    got4b = {r["budget"]: r["recall"] for r in
+             eval_recalls(df, [3], id_col="did", n_gt=gtdf).collect()}
+    assert got4b[3] == 0.75
 
 
 def test_viterbi_matches_brute_force():

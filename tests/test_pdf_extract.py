@@ -85,3 +85,68 @@ def test_pdf_roundtrip_property():
         assert [(s["kind"], s["text"]) for s in spans] == want
 
     check()
+
+
+def test_tj_array_negative_kerning():
+    """`[(Hel) -30 (lo)] TJ` must come back as one 'Hello' span — kern
+    numbers are positioning, not text."""
+    import zlib
+
+    from davar_lab_ocr_spark.sources.pdf import pdf_to_spans_py
+
+    stream = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm [(Hel) -30 (lo) 12 (!)] TJ ET"
+    pdf = _wrap_stream(stream)
+    spans = pdf_to_spans_py(pdf)
+    assert [s["text"] for s in spans] == ["Hello!"]
+
+
+def test_td_is_cumulative_and_tm_overrides():
+    """Two Td moves compose; a later Tm sets the position absolutely.
+    Reading order is by descending y."""
+    from davar_lab_ocr_spark.sources.pdf import pdf_to_spans_py
+
+    stream = (
+        b"BT /F1 12 Tf "
+        b"72 700 Td (first) Tj "       # y=700
+        b"0 -40 Td (second) Tj "       # cumulative -> y=660
+        b"1 0 0 1 72 600 Tm (third) Tj "  # absolute -> y=600
+        b"0 -40 Td (fourth) Tj "       # relative to Tm line -> y=560
+        b"ET"
+    )
+    spans = pdf_to_spans_py(_wrap_stream(stream))
+    assert [s["text"] for s in spans] == ["first", "second", "third", "fourth"]
+    assert [s["offset"] for s in spans] == [0, 1, 2, 3]
+
+
+def test_bt_resets_position():
+    from davar_lab_ocr_spark.sources.pdf import pdf_to_spans_py
+
+    stream = (
+        b"BT 72 700 Td (a) Tj ET "
+        b"BT 0 650 Td (b) Tj ET"  # would be y=1350 if BT didn't reset
+    )
+    spans = pdf_to_spans_py(_wrap_stream(stream))
+    assert [s["text"] for s in spans] == ["a", "b"]
+
+
+def test_title_size_from_tf_with_tm_tj():
+    from davar_lab_ocr_spark.sources.pdf import pdf_to_spans_py
+
+    stream = (
+        b"BT /F1 24 Tf 1 0 0 1 72 720 Tm [(Big ) -10 (Title)] TJ "
+        b"/F1 11 Tf 1 0 0 1 72 680 Tm (body) Tj ET"
+    )
+    spans = pdf_to_spans_py(_wrap_stream(stream))
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("title", "Big Title"), ("text", "body"),
+    ]
+
+
+def _wrap_stream(stream: bytes) -> bytes:
+    """Minimal single-stream PDF body around a raw content stream
+    (uncompressed; the header/xref scaffolding is irrelevant to the
+    stream scanner)."""
+    return (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(stream), stream)
+    )
