@@ -141,24 +141,47 @@ def _treedist(i, j, nodes1, nodes2, l1, l2, td, rename):
 # ---------------------------------------------------------------------------
 import re
 
-_TOKEN_RE = re.compile(r"<(/?)(table|thead|tbody|tr|td)((?:\s+\w+=\"[^\"]*\")*)\s*>|([^<]+)")
-_ATTR_RE = re.compile(r"(\w+)=\"([^\"]*)\"")
+_TOKEN_RE = re.compile(r"<(/?)(\w+)((?:\s+[\w-]+=\"[^\"]*\")*)\s*(/?)>|([^<]+)")
+_ATTR_RE = re.compile(r"([\w-]+)=\"([^\"]*)\"")
+_STRUCTURAL = {"table", "thead", "tbody", "tr", "td"}
 
 
 def parse_table_html(html_str: str, structure_only: bool = False) -> Node | None:
     """Parse '<html><body><table>...</table></body></html>' into a
-    TEDS node tree rooted at <table>."""
-    m = re.search(r"<table>(.*)</table>", html_str, re.S)
+    TEDS node tree rooted at <table>.
+
+    Structural tags (table/thead/tbody/tr/td) become tree nodes; any
+    OTHER tag inside a td (PubTabNet cells carry <b>/<i>/<sup>/<sub>
+    inline markup) becomes a single '<tag>' / '</tag>' token in the
+    cell content, exactly like the reference's TEDS.tokenize which
+    appends '<%s>' % node.tag around the recursion (metric.py:73-84) —
+    so inline markup differences cost content-levenshtein edits, not
+    tree edits. Self-closing '<br/>' emits both tokens, matching
+    lxml's empty-element node. HTML entity decoding is out of scope
+    (fixture html is entity-free)."""
+    m = re.search(r"<table[^>]*>(.*)</table>", html_str, re.S)
     if m is None:
         return None
     body = m.group(0)
     root = None
     stack: list[Node] = []
     for tok in _TOKEN_RE.finditer(body):
-        closing, tag, attrs, text = tok.group(1), tok.group(2), tok.group(3), tok.group(4)
+        closing, tag, attrs, selfclose, text = (
+            tok.group(1), tok.group(2), tok.group(3), tok.group(4), tok.group(5),
+        )
         if text is not None:
             if stack and stack[-1].label == "td" and not structure_only:
                 stack[-1].content.extend(list(text))
+            continue
+        if tag not in _STRUCTURAL:
+            # inline markup token(s) inside a cell
+            if stack and stack[-1].label == "td" and not structure_only:
+                if closing:
+                    stack[-1].content.append(f"</{tag}>")
+                else:
+                    stack[-1].content.append(f"<{tag}>")
+                    if selfclose:
+                        stack[-1].content.append(f"</{tag}>")
             continue
         if not closing:
             attrib = dict(_ATTR_RE.findall(attrs or ""))

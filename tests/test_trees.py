@@ -133,3 +133,57 @@ def test_adjacency_to_trees_and_f1():
     # empty pred
     zero = [[0] * 4 for _ in range(4)]
     assert tree_f1(adj, zero, "hard") == (1.0, 0.0, 0.0)
+
+
+# --- PubTabNet-shaped HTML (thead/tbody + inline cell markup), hand-
+# computed TEDS goldens mirroring the reference tokenize semantics
+# (metric.py:73-84: inline tags are single cell tokens) ---------------
+_PTN_GT = (
+    "<html><body><table><thead><tr><td><b>Item</b></td><td><b>Qty</b></td>"
+    "</tr></thead><tbody><tr><td>apple</td><td>3</td></tr></tbody>"
+    "</table></body></html>"
+)
+
+
+def test_teds_pubtabnet_identical():
+    from davar_lab_ocr_spark.functions.trees import teds_score
+
+    assert teds_score(_PTN_GT, _PTN_GT) == pytest.approx(1.0)
+    assert teds_score(_PTN_GT, _PTN_GT, structure_only=True) == pytest.approx(1.0)
+
+
+def test_teds_pubtabnet_lost_bold():
+    """pred drops one cell's <b> wrapper: gt cell tokens are
+    ['<b>','I','t','e','m','</b>'] (6), pred ['I','t','e','m'] (4) ->
+    rename = lev 2/6 = 1/3; tree nodes excl. root = thead+tbody+2 tr+
+    4 td = 8 -> teds = 1 - (1/3)/8."""
+    from davar_lab_ocr_spark.functions.trees import teds_score
+
+    pred = _PTN_GT.replace("<b>Item</b>", "Item")
+    assert teds_score(pred, _PTN_GT) == pytest.approx(1 - (1 / 3) / 8, abs=1e-9)
+    # structure unchanged -> structure-only score stays perfect
+    assert teds_score(pred, _PTN_GT, structure_only=True) == pytest.approx(1.0)
+
+
+def test_teds_pubtabnet_missing_cell_and_colspan():
+    from davar_lab_ocr_spark.functions.trees import teds_score
+
+    # delete one td entirely: distance 1 over 8 nodes
+    pred = _PTN_GT.replace("<td>3</td>", "")
+    assert teds_score(pred, _PTN_GT) == pytest.approx(1 - 1 / 8)
+    # colspan mismatch on one td: rename cost 1 over 8 nodes
+    pred2 = _PTN_GT.replace("<td>apple</td>", '<td colspan="2">apple</td>')
+    assert teds_score(pred2, _PTN_GT) == pytest.approx(1 - 1 / 8)
+    assert teds_score(pred2, _PTN_GT, structure_only=True) == pytest.approx(1 - 1 / 8)
+
+
+def test_teds_inline_markup_tokens():
+    """Inline tags parse to single tokens; <br/> emits open+close like
+    an lxml empty element."""
+    from davar_lab_ocr_spark.functions.trees import parse_table_html
+
+    t = parse_table_html(
+        "<html><body><table><tr><td>a<b>x</b>y<br/>z</td></tr></table></body></html>"
+    )
+    td = t.children[0].children[0]
+    assert td.content == ["a", "<b>", "x", "</b>", "y", "<br>", "</br>", "z"]
