@@ -121,8 +121,11 @@ _TEXT_OP_RE = re.compile(
     rb"(?P<bt>BT)"
     rb"|/\w+\s+(?P<tf>" + _NUM + rb")\s+Tf"
     rb"|(?P<tm>(?:" + _NUM + rb"\s+){5}" + _NUM + rb")\s+Tm"
-    rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM + rb")\s+T[dD]"
+    rb"|(?P<tl>" + _NUM + rb")\s+TL"
+    rb"|(?P<tdx>" + _NUM + rb")\s+(?P<tdy>" + _NUM + rb")\s+T(?P<tdcap>[dD])"
+    rb"|(?P<tstar>T\*)"
     rb"|(?P<tj>" + _STR + rb")\s*Tj"
+    rb"|(?P<quote>" + _STR + rb")\s*'"
     rb"|\[(?P<tjarr>(?:" + _STR + rb"|" + _NUM + rb"|\s+)*)\]\s*TJ"
 )
 _STR_RE = re.compile(_STR)
@@ -161,22 +164,34 @@ def pdf_to_spans_py(pdf: bytes, title_min_size: float = 18.0) -> list[dict]:
             continue
         size = 12.0
         x = y = 0.0
+        leading = 0.0
         for t in _TEXT_OP_RE.finditer(data):
             if t.group("bt"):
                 x = y = 0.0  # BT resets the text/line matrices to identity
+                leading = 0.0
             elif t.group("tf"):
                 size = float(t.group("tf"))
             elif t.group("tm"):
                 # position = translation part (e, f) of the matrix
                 nums = t.group("tm").split()
                 x, y = float(nums[4]), float(nums[5])
+            elif t.group("tl"):
+                leading = float(t.group("tl"))
             elif t.group("tdx"):
                 # Td/TD translate the LINE matrix relative to its
-                # current origin (cumulative), not absolutely
+                # current origin (cumulative), not absolutely; TD also
+                # sets the leading to -ty (spec table 108)
                 x += float(t.group("tdx"))
                 y += float(t.group("tdy"))
+                if t.group("tdcap") == b"D":
+                    leading = -float(t.group("tdy"))
+            elif t.group("tstar"):
+                y -= leading  # next line: 0 -TL Td
             elif t.group("tj"):
                 items.append((page, -y, x, size, _unescape(t.group("tj")[1:-1])))
+            elif t.group("quote"):
+                y -= leading  # ' = T* then show
+                items.append((page, -y, x, size, _unescape(t.group("quote")[1:-1])))
             elif t.group("tjarr") is not None:
                 # TJ: concatenate string runs, ignore kern numbers
                 text = "".join(

@@ -150,3 +150,21 @@ def _wrap_stream(stream: bytes) -> bytes:
         b"%%PDF-1.4\n1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
         % (len(stream), stream)
     )
+
+
+def test_leading_tstar_and_quote():
+    """`TL` sets the leading, `T*` advances a line, `(s) '` advances
+    then shows; `TD` sets leading to -ty as a side effect."""
+    from davar_lab_ocr_spark.sources.pdf import pdf_to_spans_py
+
+    stream = (
+        b"BT /F1 12 Tf 14 TL 72 700 Td (one) Tj "
+        b"T* (two) Tj "          # y=686
+        b"(three) ' "            # y=672
+        b"72 -20 TD (four) Tj "  # y=652, leading becomes 20
+        b"T* (five) Tj "         # y=632
+        b"ET"
+    )
+    spans = pdf_to_spans_py(_wrap_stream(stream))
+    assert [s["text"] for s in spans] == ["one", "two", "three", "four", "five"]
+    assert [s["offset"] for s in spans] == [0, 1, 2, 3, 4]
