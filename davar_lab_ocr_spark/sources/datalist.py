@@ -121,20 +121,54 @@ def rcg_filter(df: DataFrame, max_len: int | None = 25, charset: str | None = No
     return out
 
 
-def lmdb_etl(spark: SparkSession, lmdb_path: str, out_path: str):  # pragma: no cover
-    """LMDB key-value stores (davar_loading_lmdb.py:23-302) have no
-    Spark connector; the reference reads them per-worker. Our 100TB
-    design converts once: scan the store sequentially, write parquet
-    with a binary image column, then everything downstream is columnar.
-    The lmdb module is not available in this environment."""
-    try:
-        import lmdb  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "lmdb not installed in this environment; ETL shape: "
-            "env.begin() cursor -> batches of (key, image bytes, label) -> "
-            "spark.createDataFrame(...).write.parquet(out_path)"
-        ) from exc
+def rcg_lmdb_scan(spark: SparkSession, lmdb_path: str) -> DataFrame:
+    """Scan a recognition LMDB store (davar_loading_lmdb.py:23-302 key
+    scheme: 'num-samples', 'image-%09d', 'label-%09d') into rows
+    (sample_id, image binary, label) using the pure-stdlib parser in
+    sources/lmdb_format.py — no lmdb C library needed for the read
+    path. The data file rides to an executor via binaryFile (a single
+    LMDB file is not splittable; the ETL's parallelism comes from
+    writing many output partitions, and from many input STORES — the
+    reference ships one store per dataset), and the join of image/label
+    keys happens inside the Arrow batch, so nothing row-sized touches
+    the driver."""
+    import pyarrow as pa
+
+    files = spark.read.format("binaryFile").load(lmdb_path)
+
+    def run(batches):
+        from .lmdb_format import lmdb_items
+
+        for batch in batches:
+            for buf in batch.column("content").to_pylist():
+                images: dict[int, bytes] = {}
+                labels: dict[int, str] = {}
+                for k, v in lmdb_items(buf):
+                    ks = k.decode("latin-1")
+                    if ks.startswith("image-"):
+                        images[int(ks[6:])] = v
+                    elif ks.startswith("label-"):
+                        labels[int(ks[6:])] = v.decode("utf-8")
+                ids = sorted(images)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ids, pa.int64()),
+                        pa.array([images[i] for i in ids], pa.binary()),
+                        pa.array([labels.get(i) for i in ids], pa.string()),
+                    ],
+                    names=["sample_id", "image", "label"],
+                )
+
+    return files.select("content").mapInArrow(
+        run, schema="sample_id long, image binary, label string"
+    )
+
+
+def lmdb_etl(spark: SparkSession, lmdb_path: str, out_path: str) -> None:
+    """One-time LMDB -> parquet conversion (the 100TB design converts
+    once, then everything downstream is columnar): scan the store with
+    the stdlib parser, write a binary image column + label."""
+    rcg_lmdb_scan(spark, lmdb_path).write.mode("overwrite").parquet(out_path)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str = "doc_id", n_buckets: int = 16) -> None:
