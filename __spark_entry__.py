@@ -595,6 +595,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["poly_rect"] = poly_rect
 
+    def lmdb_scan(spark, sf):
+        # write a deterministic recognition LMDB store (stdlib writer),
+        # scan it back through the distributed parser path; the oracle
+        # is derived from the generator dict WITHOUT touching lmdb
+        # bytes, so a driver-green row proves the store roundtrip
+        # preserves every image byte and label
+        import os
+        import tempfile
+
+        from davar_lab_ocr_spark.sources.datalist import rcg_lmdb_scan
+        from davar_lab_ocr_spark.sources.lmdb_format import (
+            lmdb_write,
+            make_lmdb_fixture_items,
+        )
+
+        d = tempfile.mkdtemp(prefix="lmdb_q_")
+        path = os.path.join(d, "data.mdb")
+        with open(path, "wb") as fh:
+            fh.write(lmdb_write(make_lmdb_fixture_items()))
+        return rcg_lmdb_scan(spark, path).select(
+            "sample_id", "label", F.md5(F.col("image")).alias("img_md5")
+        )
+
+    q["lmdb_scan"] = lmdb_scan
+
     # --- fixture-oracle queries (expected outputs derived by the pure-
     # python second implementations in corpus.py / full_chain.py /
     # detection.py fixtures, committed as tests/fixtures/*.parquet by
@@ -1021,12 +1046,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   pinned by flagship_extract's span contract
     # - top_orders_per_customer: generic windowed top-k; the ranking
     #   pattern is oracle-checked by recall_at_k and char_voting
+    # - poly_rect: pure slice/min/max arithmetic, also exercised inside
+    #   every detection decode path (quad -> rect)
     tail = [
         "lsh_bucket_histogram",
         "ann_lsh",
         "embedding_topk",
         "span_reassembly",
         "top_orders_per_customer",
+        "poly_rect",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     assert len(ordered) <= 50, f"driver window overflow: {len(ordered)} primary queries"
@@ -1777,6 +1805,12 @@ def oracle_sql() -> dict[str, str]:
         "ner_decode": f"""
             SELECT doc_id, etype, start, "end"
             FROM read_parquet('{FIXTURES}/expected_ner.parquet')
+        """,
+        # derived from the generator dict, independent of the lmdb
+        # writer/parser under test (store-roundtrip byte equality)
+        "lmdb_scan": f"""
+            SELECT sample_id, label, img_md5
+            FROM read_parquet('{FIXTURES}/expected_lmdb.parquet')
         """,
         "pointer_reading_order": f"""
             SELECT doc_id, region_id, order_pred

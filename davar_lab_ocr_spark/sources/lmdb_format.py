@@ -129,6 +129,24 @@ def lmdb_get(buf: bytes, key: bytes) -> bytes | None:
     return None
 
 
+def make_lmdb_fixture_items(n: int = 40, seed: int = 29) -> dict[bytes, bytes]:
+    """Deterministic recognition-store content (reference key scheme,
+    davar_loading_lmdb.py): shared by the lmdb_scan query (which writes
+    + scans the store) and the fixture generator (which derives the
+    expected output STRAIGHT from this dict, independent of the
+    writer/parser under test). Sizes straddle the overflow threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    items = {b"num-samples": str(n).encode()}
+    for i in range(1, n + 1):
+        size = int(rng.integers(64, 4000))
+        img = rng.integers(0, 256, size=size).astype(np.uint8).tobytes()
+        items[b"image-%09d" % i] = img
+        items[b"label-%09d" % i] = f"word-{i:04d}".encode()
+    return items
+
+
 # ---------------------------------------------------------------------------
 # writer (fixtures / demo stores)
 # ---------------------------------------------------------------------------

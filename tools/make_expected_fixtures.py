@@ -283,6 +283,31 @@ def main():
     pq.write_table(tbl, os.path.join(FIXDIR, "expected_media_transform.parquet"))
     print(f"expected_media_transform.parquet: {tbl.num_rows} rows")
 
+    # lmdb_scan: expected rows derive STRAIGHT from the deterministic
+    # generator dict — no lmdb writer/parser involved — so the query's
+    # green row proves the store roundtrip preserves bytes exactly
+    import hashlib as _hl
+
+    from davar_lab_ocr_spark.sources.lmdb_format import make_lmdb_fixture_items
+
+    lm_items = make_lmdb_fixture_items()
+    ids, labels, md5s = [], [], []
+    for k, v in lm_items.items():
+        ks = k.decode()
+        if ks.startswith("image-"):
+            ids.append(int(ks[6:]))
+            md5s.append(_hl.md5(v).hexdigest())
+            labels.append(lm_items[b"label-%09d" % int(ks[6:])].decode())
+    tbl = pa.table(
+        {
+            "sample_id": pa.array(ids, pa.int64()),
+            "label": pa.array(labels, pa.string()),
+            "img_md5": pa.array(md5s, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(FIXDIR, "expected_lmdb.parquet"))
+    print(f"expected_lmdb.parquet: {tbl.num_rows} rows")
+
     # session_tracks INPUT rows (the oracle itself is derived in SQL by
     # DuckDB — an independent engine-level sessionization; we only
     # commit the deterministic input)
