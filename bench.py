@@ -112,7 +112,7 @@ def _serve(cores: int, split: str, corpus_path: str, out_path: str) -> None:
 
 
 def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
-                       rounds: int = 5,
+                       rounds: int = 7,
                        primary: tuple | None = None) -> dict[tuple[int, str], float]:
     """Boot one warm child per (cores, split) level, then alternate RUN
     commands across levels round-robin; min per level over rounds.
@@ -145,7 +145,7 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
                 break
         procs[(cores, split)] = p
     best: dict[tuple[int, str], float] = {k: float("inf") for k in procs}
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "240"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "330"))
     t0 = time.time()
     for rnd in range(rounds):
         n_before = best[primary[0][0]] if primary else None
