@@ -504,10 +504,23 @@ def eval_map(
             ).alias("ap"),
         )
     )
-    mean_row = per_class.agg(
-        F.lit("__mean__").alias("cls"), F.round(F.avg("ap"), 6).alias("ap")
+    # append the mAP row in ONE pass: per_class.union(per_class.agg(...))
+    # would re-run the whole ranked lineage for the mean branch (2x the
+    # job at scale); instead pack the per-class rows (there are only
+    # #classes of them) into one row, compute the mean there, and
+    # explode back out
+    packed = per_class.agg(
+        F.collect_list(F.struct("cls", "ap")).alias("rows"),
+        F.round(F.avg("ap"), 6).alias("mean_ap"),
     )
-    return per_class.unionByName(mean_row)
+    return packed.select(
+        F.explode(
+            F.concat(
+                F.col("rows"),
+                F.array(F.struct(F.lit("__mean__").alias("cls"), F.col("mean_ap").alias("ap"))),
+            )
+        ).alias("r")
+    ).select("r.cls", "r.ap")
 
 
 def eval_recalls(
@@ -546,19 +559,24 @@ def eval_recalls(
         totals = rk.agg(*aggs).crossJoin(F.broadcast(n_gt.select("n_gt")))
     else:
         totals = rk.agg(*aggs).withColumn("n_gt", F.lit(int(n_gt)))
-    rows = [
-        totals.select(
-            F.lit(k).alias("budget"),
-            F.round(F.col(f"hit_{k}") / F.greatest(F.col("n_gt"), F.lit(1)), 6).alias(
-                "recall"
-            ),
-        )
-        for k in budgets
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # unpivot the single totals row instead of union-of-selects: a union
+    # branch per budget would recompute the window + aggregation per
+    # budget (k full passes over the proposals at scale)
+    return totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("budget"),
+                        F.round(
+                            F.col(f"hit_{k}") / F.greatest(F.col("n_gt"), F.lit(1)), 6
+                        ).alias("recall"),
+                    )
+                    for k in budgets
+                ]
+            )
+        ).alias("r")
+    ).select("r.budget", "r.recall")
 
 
 def recognition_accuracy(df: DataFrame, pred_col: str = "pred", label_col: str = "label") -> DataFrame:
