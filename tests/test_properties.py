@@ -96,3 +96,67 @@ def test_nms_keeps_highest_and_is_subset(items):
     assert int(np.argmax(arr[:, 4])) in keep or any(
         arr[k, 4] == arr[:, 4].max() for k in keep
     )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 2, 3, 4]),
+    st.sampled_from([0, 1, 2, 3, 4]), st.integers(0, 2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, c, filter_type, seed):
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.png import png_decode, png_encode
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    assert (png_decode(png_encode(arr, filter_type=filter_type)) == arr).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dictionaries(
+        st.binary(min_size=1, max_size=24),
+        st.binary(min_size=0, max_size=6000),
+        max_size=40,
+    )
+)
+def test_lmdb_roundtrip_property(items):
+    from davar_lab_ocr_spark.sources.lmdb_format import lmdb_items, lmdb_write
+
+    buf = lmdb_write(items)
+    got = list(lmdb_items(buf))
+    assert got == sorted(items.items())
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, 60), st.integers(0, 60), st.integers(1, 50), st.integers(1, 50),
+    st.integers(0, 60), st.integers(0, 60), st.integers(1, 50), st.integers(1, 50),
+)
+def test_tiou_terms_bounded_by_iou(x0, y0, w0, h0, x1, y1, w1, h1):
+    """For any matched pair: 0 <= tiou_recall_term <= iou and
+    0 <= tiou_precision_term <= iou (the tightness factors are in
+    [0, 1])."""
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.geometry import (
+        convex_poly_intersection_area,
+        poly_area,
+    )
+    from davar_lab_ocr_spark.operators.metrics import (
+        _tiou_precision_term,
+        _tiou_recall_term,
+    )
+
+    g = np.array([[x0, y0], [x0 + w0, y0], [x0 + w0, y0 + h0], [x0, y0 + h0]], float)
+    d = np.array([[x1, y1], [x1 + w1, y1], [x1 + w1, y1 + h1], [x1, y1 + h1]], float)
+    inter = convex_poly_intersection_area(d, g)
+    union = poly_area(d) + poly_area(g) - inter
+    iou = inter / union if union > 0 else 0.0
+    tr = _tiou_recall_term(inter, union, poly_area(g))
+    tp = _tiou_precision_term(d, g, 0, [g], inter, union)
+    assert -1e-12 <= tr <= iou + 1e-12
+    assert -1e-12 <= tp <= iou + 1e-12
+    # no other gt -> no outlier penalty: precision term IS the iou
+    assert abs(tp - iou) < 1e-9
