@@ -296,6 +296,11 @@ def main() -> None:
             "ann_full": lambda: SIM.lsh_topk(
                 emb.filter(SF.col("vec_id") % 50 == 0), emb, k=3, n_bits=8, multiprobe=True
             ),
+            # includes the Lloyd iterations (distributed assign+avg)
+            "ivf_full": lambda: SIM.ivf_topk(
+                emb.filter(SF.col("vec_id") % 50 == 0), emb,
+                SIM.kmeans_centroids(emb, k=8, iters=2), k=3, nprobe=2,
+            ),
             "bpe_full": lambda: TS.bpe_token_stats(docs),
         }
 

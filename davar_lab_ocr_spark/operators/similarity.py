@@ -133,3 +133,116 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (k-means coarse quantizer) — the other classic ANN scale path
+# ---------------------------------------------------------------------------
+def _sq_dist_expr(vec_col, centroid: list[float]) -> F.Column:
+    """Squared L2 distance of an array column to one literal centroid,
+    JVM-side (zip_with + aggregate, no UDF)."""
+    lit_c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_expr(vec_col, centroids: list[list[float]]) -> F.Column:
+    """Nearest-centroid index (0-based) via array_min over
+    struct<dist, idx> — struct ordering gives min-dist, tie -> lower
+    idx. All JVM expressions; for large k*dim this assign step would
+    move to a broadcast-variable pandas UDF, but the coarse quantizer
+    is small by design (k ~ sqrt(n))."""
+    structs = [
+        F.struct(_sq_dist_expr(vec_col, c).alias("d"), F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)
+    ]
+    # array() re-derives element field names; pin them with a cast so
+    # the getField below is version-stable
+    arr = F.array(*structs).cast("array<struct<d:double,i:int>>")
+    return F.array_min(arr)["i"]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd iterations for the IVF coarse quantizer.
+    Deterministic init (the k smallest ids); each iteration assigns
+    every vector JVM-side and averages per-cluster per-dimension with
+    posexplode + groupBy. Only k*dim floats ever reach the driver (the
+    centroids themselves — that is the coarse quantizer's job).
+    Empty clusters keep their previous centroid."""
+    init_rows = df.orderBy(F.col(id_col)).limit(k).select(F.col(vec_col).alias("v")).collect()
+    centroids = [[float(x) for x in r["v"]] for r in init_rows]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = df.select(
+            _assign_expr(F.col(vec_col), centroids).alias("cluster"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        rows = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[int(r["cluster"])][int(r["pos"])] = float(r["m"])
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their nearest centroid's list;
+    each query probes its ``nprobe`` nearest lists; exact cosine rank
+    inside the candidate set. (query_id, neighbor_id, cos_sim, rk).
+    The probe join is a plain equi-join on cluster id — at scale the
+    corpus side is hash-partitioned (or bucketed) by cluster and only
+    nprobe/k of it is touched per query."""
+    probe_structs = F.array(
+        *[
+            F.struct(_sq_dist_expr(F.col("qv"), c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    ).cast("array<struct<d:double,i:int>>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).select(  # second select: 'qv' must exist before the probe expr references it
+        "query_id",
+        "qv",
+        F.explode(
+            F.transform(F.slice(F.array_sort(probe_structs), 1, nprobe), lambda s: s["i"])
+        ).alias("cluster"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _assign_expr(F.col(vec_col), centroids).alias("cluster"),
+    )
+    scored = c.join(F.broadcast(q), "cluster").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -41,3 +41,76 @@ def test_multiprobe_recovers_boundary_neighbor(spark):
     exact = brute_force_topk(q, c, k=1).collect()
     assert exact[0]["neighbor_id"] == 1
     assert abs(multi[0]["cos_sim"] - exact[0]["cos_sim"]) < 1e-9
+
+
+def test_kmeans_centroids_converge_on_planted_clusters(spark):
+    """Three well-separated planted clusters: Lloyd must place one
+    centroid in each (assignment partitions the data exactly)."""
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(5)
+    rows = []
+    centers = [np.zeros(8), np.full(8, 10.0), np.full(8, -10.0)]
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, (c + rng.normal(0, 0.1, 8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = kmeans_centroids(df, k=3, iters=4)
+    # each planted center is within 0.5 of exactly one learned centroid
+    for c in centers:
+        dists = [float(np.linalg.norm(np.array(cc) - c)) for cc in cents]
+        assert min(dists) < 0.5
+
+
+def test_ivf_topk_matches_brute_force_with_full_probe(spark):
+    """nprobe = n_centroids makes IVF exhaustive: results must equal
+    brute force exactly (same ids, same sims, same ranks)."""
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(9)
+    corpus_rows = [(i, rng.normal(0, 1, 12).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id int, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    body = corpus.filter(F.col("vec_id") >= 5)
+    cents = kmeans_centroids(body, k=4, iters=2)
+    got = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk(queries, body, cents, k=3, nprobe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk(queries, body, k=3).collect()
+    }
+    assert got == want
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    """With clustered data and nprobe=1, IVF finds the true neighbor
+    whenever it shares the query's cluster — planted so it always does."""
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    rng = np.random.default_rng(13)
+    centers = [np.full(6, v, dtype=float) for v in (0.0, 20.0)]
+    rows = []
+    for i in range(40):
+        c = centers[i % 2]
+        rows.append((i, (c + rng.normal(0, 0.05, 6) + 1.0).tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = kmeans_centroids(df, k=2, iters=3)
+    out = ivf_topk(df.filter(F.col("vec_id") < 4), df.filter(F.col("vec_id") >= 4),
+                   cents, k=1, nprobe=1).collect()
+    assert len(out) == 4
+    for r in out:
+        # nearest neighbor of query i is i+4 mod parity cluster: same
+        # parity (same planted cluster) is sufficient to assert
+        assert r["neighbor_id"] % 2 == r["query_id"] % 2

@@ -187,3 +187,64 @@ def test_teds_inline_markup_tokens():
     )
     td = t.children[0].children[0]
     assert td.content == ["a", "<b>", "x", "</b>", "y", "<br>", "</br>", "z"]
+
+
+def test_zss_matches_naive_forest_edit_distance():
+    """Independent derivation: the textbook recursive forest edit
+    distance (memoized, exponential — test oracle only) must equal the
+    Zhang-Shasha implementation on random small trees."""
+    import functools
+
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.trees import Node, tree_edit_distance
+
+    def naive_ted(t1, t2):
+        # forests are tuples of Nodes; recurse on the RIGHTMOST root
+        def key(forest):
+            return tuple(id(n) for n in forest)
+
+        memo = {}
+
+        def fdist(f1, f2):
+            k = (key(f1), key(f2))
+            if k in memo:
+                return memo[k]
+            if not f1 and not f2:
+                r = 0.0
+            elif not f1:
+                last = f2[-1]
+                r = fdist((), f2[:-1] + tuple(last.children)) + 1
+            elif not f2:
+                last = f1[-1]
+                r = fdist(f1[:-1] + tuple(last.children), ()) + 1
+            else:
+                a, b = f1[-1], f2[-1]
+                r = min(
+                    fdist(f1[:-1] + tuple(a.children), f2) + 1,   # delete a
+                    fdist(f1, f2[:-1] + tuple(b.children)) + 1,   # insert b
+                    fdist(tuple(a.children), tuple(b.children))   # match a<->b
+                    + fdist(f1[:-1], f2[:-1])
+                    + (0.0 if a.label == b.label else 1.0),
+                )
+            memo[k] = r
+            return r
+
+        return fdist((t1,), (t2,))
+
+    def random_tree(rng, n_nodes, n_labels):
+        nodes = [Node(str(rng.integers(0, n_labels)))]
+        for _ in range(n_nodes - 1):
+            parent = nodes[int(rng.integers(0, len(nodes)))]
+            child = Node(str(rng.integers(0, n_labels)))
+            parent.children.append(child)
+            nodes.append(child)
+        return nodes[0]
+
+    rng = np.random.default_rng(77)
+    for trial in range(30):
+        t1 = random_tree(rng, int(rng.integers(1, 8)), 3)
+        t2 = random_tree(rng, int(rng.integers(1, 8)), 3)
+        got = tree_edit_distance(t1, t2)
+        want = naive_ted(t1, t2)
+        assert got == pytest.approx(want), f"trial {trial}: zss={got} naive={want}"
