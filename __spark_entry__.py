@@ -281,6 +281,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_token_stats"] = bpe_token_stats
 
+    def repetition_stats(spark, sf):
+        # plant guaranteed repetition: append the doc's own first 60
+        # chars (mirrored verbatim in the oracle SQL)
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" "), F.substring("text", 1, 60)).alias("text"),
+        )
+        return TS.repetition_stats(d)
+
+    q["repetition_stats"] = repetition_stats
+
     def doc_fingerprint(spark, sf):
         return TS.fingerprint(_t(spark, sf, "documents").filter(F.col("doc_id") < 300))
 
@@ -1048,6 +1059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   pattern is oracle-checked by recall_at_k and char_voting
     # - poly_rect: pure slice/min/max arithmetic, also exercised inside
     #   every detection decode path (quad -> rect)
+    # - tokenize_spans: the shared tokenizer it exposes is pinned by
+    #   token_stats (aggregates of the same explode) and repetition_stats
+    #   (n-grams over the same ordered tokens)
     tail = [
         "lsh_bucket_histogram",
         "ann_lsh",
@@ -1055,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_reassembly",
         "top_orders_per_customer",
         "poly_rect",
+        "tokenize_spans",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     assert len(ordered) <= 50, f"driver window overflow: {len(ordered)} primary queries"
@@ -1253,6 +1268,54 @@ def oracle_sql() -> dict[str, str]:
                              >= 0.05
                         THEN 'en' ELSE 'other' END AS pred_lang
             FROM documents WHERE doc_id < 500
+        """,
+        "repetition_stats": f"""
+            WITH d AS (
+                SELECT doc_id, text || ' ' || substr(text, 1, 60) AS text
+                FROM documents WHERE doc_id < 150
+            ),
+            toks AS ({_TOKS_SQL.format(src="SELECT doc_id, text FROM d")}),
+            tot AS (
+                SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq,
+                       sum(length(tok)) AS total_chars
+                FROM toks GROUP BY 1
+            ),
+            g AS (
+                SELECT doc_id, tok,
+                       lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt,
+                       lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt2
+                FROM toks
+            ),
+            bgc AS (
+                SELECT doc_id, tok || ' ' || nxt AS gram,
+                       length(tok) + length(nxt) AS chars, count(*) AS cnt
+                FROM g WHERE nxt IS NOT NULL GROUP BY 1, 2, 3
+            ),
+            topbg AS (
+                SELECT doc_id, cnt * chars AS top_bg_chars FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY cnt * chars DESC, chars DESC, gram ASC) AS rk
+                    FROM bgc
+                ) WHERE rk = 1
+            ),
+            dupt AS (
+                SELECT doc_id, sum(cnt * chars) AS dup_tg_chars FROM (
+                    SELECT doc_id, tok || ' ' || nxt || ' ' || nxt2 AS gram,
+                           length(tok) + length(nxt) + length(nxt2) AS chars,
+                           count(*) AS cnt
+                    FROM g WHERE nxt2 IS NOT NULL GROUP BY 1, 2, 3
+                ) WHERE cnt >= 2 GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   round(1 - n_uniq::double / n_tok, 6) AS dup_token_frac,
+                   round(coalesce(top_bg_chars, 0)::double
+                         / greatest(total_chars, 1), 6) AS top_bigram_char_frac,
+                   round(coalesce(dup_tg_chars, 0)::double
+                         / greatest(total_chars, 1), 6) AS dup_trigram_char_frac
+            FROM tot t
+            LEFT JOIN topbg USING (doc_id)
+            LEFT JOIN dupt USING (doc_id)
         """,
         "bpe_token_stats": f"""
             WITH pieces AS (

@@ -137,3 +137,80 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.countDistinct("piece").alias("n_uniq_pieces"),
         F.round(F.avg(F.length("piece")), 4).alias("avg_piece_len"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals (public
+    filtering heuristics) per document:
+
+    - ``dup_token_frac``: 1 - distinct/total tokens
+    - ``top_bigram_char_frac``: fraction of token characters covered by
+      the most frequent bigram (count * bigram chars / total chars);
+      ties broken by larger char count, then lexicographic bigram
+    - ``dup_trigram_char_frac``: fraction of token characters inside
+      trigrams occurring >= 2 times (sum of count * chars / total)
+
+    All pure JVM expressions: lead() windows per doc build the n-grams,
+    groupBy counts them, one join per signal family re-keys on doc_id —
+    every shuffle is on the doc-id/gram key family, no driver loops."""
+    from pyspark.sql.window import Window
+
+    toks = tokenize(df, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("ord")
+    grams = toks.select(
+        id_col,
+        "tok",
+        F.lead("tok", 1).over(w).alias("nxt"),
+        F.lead("tok", 2).over(w).alias("nxt2"),
+    )
+
+    totals = toks.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("tok").alias("n_uniq"),
+        F.sum(F.length("tok")).alias("total_chars"),
+    )
+
+    bg = grams.filter(F.col("nxt").isNotNull()).select(
+        id_col,
+        F.concat_ws(" ", "tok", "nxt").alias("gram"),
+        (F.length("tok") + F.length("nxt")).alias("chars"),
+    )
+    bg_counts = bg.groupBy(id_col, "gram", "chars").agg(F.count("*").alias("cnt"))
+    wtop = Window.partitionBy(id_col).orderBy(
+        (F.col("cnt") * F.col("chars")).desc(), F.col("chars").desc(), F.col("gram").asc()
+    )
+    top_bg = (
+        bg_counts.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select(id_col, (F.col("cnt") * F.col("chars")).alias("top_bg_chars"))
+    )
+
+    tg = grams.filter(F.col("nxt2").isNotNull()).select(
+        id_col,
+        F.concat_ws(" ", "tok", "nxt", "nxt2").alias("gram"),
+        (F.length("tok") + F.length("nxt") + F.length("nxt2")).alias("chars"),
+    )
+    dup_tg = (
+        tg.groupBy(id_col, "gram", "chars")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("chars")).alias("dup_tg_chars"))
+    )
+
+    return (
+        totals.join(top_bg, id_col, "left")
+        .join(dup_tg, id_col, "left")
+        .select(
+            id_col,
+            F.round(1 - F.col("n_uniq") / F.col("n_tok"), 6).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(F.col("top_bg_chars"), F.lit(0)) / F.greatest("total_chars", F.lit(1)),
+                6,
+            ).alias("top_bigram_char_frac"),
+            F.round(
+                F.coalesce(F.col("dup_tg_chars"), F.lit(0)) / F.greatest("total_chars", F.lit(1)),
+                6,
+            ).alias("dup_trigram_char_frac"),
+        )
+    )

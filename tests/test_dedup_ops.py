@@ -110,3 +110,33 @@ def test_bpe_tokenize_gpt2_shape(spark):
                                "doc_id int, text string")
     pieces = [r["piece"] for r in bpe_tokenize(df).orderBy("ord").collect()]
     assert pieces == ["It", "'s", " 42", " degrees", ",", " isn", "'t", " it", "?", "yes", "!"]
+
+
+def test_repetition_stats_golden(spark):
+    """Hand-computed Gopher-style repetition signals."""
+    import pytest
+
+    from davar_lab_ocr_spark.operators.textstats import repetition_stats
+
+    rows = [
+        # "a b a b c": 5 tokens, 3 uniq -> dup_token_frac = 0.4
+        # bigrams: 'a b' x2 (chars 2), 'b a', 'b c' -> top = 2*2=4 over 5 chars
+        # trigrams: 'a b a','b a b','a b c' all unique -> 0
+        (1, "a b a b c"),
+        # all distinct -> zeros except top bigram (each bigram count 1)
+        (2, "xx yy zz"),
+        # 'w w w w': dup_token 0.75; bigram 'w w' x3 chars2 -> 6/4=1.5;
+        # trigram 'w w w' x2 chars3 -> 6/4 = 1.5
+        (3, "w w w w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["dup_token_frac"] == pytest.approx(0.4)
+    assert got[1]["top_bigram_char_frac"] == pytest.approx(round(4 / 5, 6))
+    assert got[1]["dup_trigram_char_frac"] == 0.0
+    assert got[2]["dup_token_frac"] == 0.0
+    # top bigram of doc2: count 1 * chars 4 over 6 chars
+    assert got[2]["top_bigram_char_frac"] == pytest.approx(round(4 / 6, 6))
+    assert got[3]["dup_token_frac"] == pytest.approx(0.75)
+    assert got[3]["top_bigram_char_frac"] == pytest.approx(1.5)
+    assert got[3]["dup_trigram_char_frac"] == pytest.approx(1.5)
