@@ -39,6 +39,7 @@ HEADLINE = [
     "tokenize_spans",
     "token_stats",
     "quality_score",
+    "repetition_stats",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh",

@@ -32,6 +32,8 @@ is real and tested:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -72,7 +74,7 @@ def payload_meta(payload: bytes) -> tuple[int, int, int] | None:
     if payload.startswith(P.MAGIC):
         try:
             return P.png_meta(payload)
-        except (ValueError, NotImplementedError):
+        except (ValueError, NotImplementedError, struct.error):
             return None
     if payload.startswith(_JPEG_SOI):
         if STRICT:
@@ -93,7 +95,7 @@ def payload_to_array(payload: bytes) -> np.ndarray | None:
     if payload.startswith(P.MAGIC):
         try:
             return P.png_decode(payload)
-        except (ValueError, NotImplementedError):
+        except (ValueError, NotImplementedError, struct.error, zlib.error):
             return None
     if payload.startswith(_JPEG_SOI):
         if STRICT:

@@ -73,3 +73,18 @@ def test_fake_payload_is_real_png_with_stable_dims():
     rng = np.random.default_rng(int.from_bytes(digest[:4], "little"))
     expect = rng.integers(0, 256, size=want[0] * want[1] * want[2], dtype=np.uint8)
     assert (arr.reshape(-1) == expect).all()
+
+
+def test_corrupt_png_payloads_yield_none_not_crash():
+    from davar_lab_ocr_spark.operators.multimodal import (
+        fake_payload,
+        payload_meta,
+        payload_to_array,
+    )
+
+    good = fake_payload("media://x/1.png")
+    truncated = good[:40]                      # cut inside IHDR/IDAT
+    garbage_idat = good[:33] + b"\x00" * (len(good) - 33)
+    for bad in (truncated, garbage_idat):
+        assert payload_to_array(bad) is None
+    assert payload_meta(good[:20]) is None     # short IHDR -> struct.error path
