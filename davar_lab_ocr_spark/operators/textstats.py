@@ -150,9 +150,15 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     - ``dup_trigram_char_frac``: fraction of token characters inside
       trigrams occurring >= 2 times (sum of count * chars / total)
 
-    All pure JVM expressions: lead() windows per doc build the n-grams,
-    groupBy counts them, one join per signal family re-keys on doc_id —
-    every shuffle is on the doc-id/gram key family, no driver loops."""
+    Genuinely single-pass: one lead() window builds the n-grams, ONE
+    explode emits (kind, gram, chars) rows for unigrams/bigrams/
+    trigrams together, one groupBy counts every gram, and one final
+    groupBy(doc) folds all three signals with conditional aggregates —
+    two shuffles after the window, no per-signal re-scan (a
+    branch-per-signal formulation re-ran the scan 3x: Spark's column
+    pruning differentiates the branch subplans, defeating
+    ReusedExchange). The top-bigram tiebreak needs no ordering: ties in
+    cnt*chars yield the same char fraction by definition."""
     from pyspark.sql.window import Window
 
     toks = tokenize(df, text_col, id_col)
@@ -164,53 +170,56 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.lead("tok", 2).over(w).alias("nxt2"),
     )
 
-    totals = toks.groupBy(id_col).agg(
-        F.count("*").alias("n_tok"),
-        F.countDistinct("tok").alias("n_uniq"),
-        F.sum(F.length("tok")).alias("total_chars"),
-    )
+    gram_structs = F.array(
+        F.struct(
+            F.lit("t").alias("kind"), F.col("tok").alias("gram"),
+            F.length("tok").alias("chars"),
+        ),
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.struct(
+                F.lit("b").alias("kind"),
+                F.concat_ws(" ", "tok", "nxt").alias("gram"),
+                (F.length("tok") + F.length("nxt")).alias("chars"),
+            ),
+        ),
+        F.when(
+            F.col("nxt2").isNotNull(),
+            F.struct(
+                F.lit("g").alias("kind"),
+                F.concat_ws(" ", "tok", "nxt", "nxt2").alias("gram"),
+                (F.length("tok") + F.length("nxt") + F.length("nxt2")).alias("chars"),
+            ),
+        ),
+    ).cast("array<struct<kind:string,gram:string,chars:int>>")
 
-    bg = grams.filter(F.col("nxt").isNotNull()).select(
+    rows = (
+        grams.select(id_col, F.explode(gram_structs).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select(id_col, "g.kind", "g.gram", "g.chars")
+    )
+    counts = rows.groupBy(id_col, "kind", "gram", "chars").agg(F.count("*").alias("cnt"))
+
+    uni = F.col("kind") == "t"
+    weight = F.col("cnt") * F.col("chars")
+    folded = counts.groupBy(id_col).agg(
+        F.sum(F.when(uni, F.col("cnt"))).alias("n_tok"),
+        F.sum(F.when(uni, 1)).alias("n_uniq"),
+        F.sum(F.when(uni, weight)).alias("total_chars"),
+        F.max(F.when(F.col("kind") == "b", weight)).alias("top_bg_chars"),
+        F.sum(F.when((F.col("kind") == "g") & (F.col("cnt") >= 2), weight)).alias(
+            "dup_tg_chars"
+        ),
+    )
+    return folded.select(
         id_col,
-        F.concat_ws(" ", "tok", "nxt").alias("gram"),
-        (F.length("tok") + F.length("nxt")).alias("chars"),
-    )
-    bg_counts = bg.groupBy(id_col, "gram", "chars").agg(F.count("*").alias("cnt"))
-    wtop = Window.partitionBy(id_col).orderBy(
-        (F.col("cnt") * F.col("chars")).desc(), F.col("chars").desc(), F.col("gram").asc()
-    )
-    top_bg = (
-        bg_counts.withColumn("rk", F.row_number().over(wtop))
-        .filter(F.col("rk") == 1)
-        .select(id_col, (F.col("cnt") * F.col("chars")).alias("top_bg_chars"))
-    )
-
-    tg = grams.filter(F.col("nxt2").isNotNull()).select(
-        id_col,
-        F.concat_ws(" ", "tok", "nxt", "nxt2").alias("gram"),
-        (F.length("tok") + F.length("nxt") + F.length("nxt2")).alias("chars"),
-    )
-    dup_tg = (
-        tg.groupBy(id_col, "gram", "chars")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * F.col("chars")).alias("dup_tg_chars"))
-    )
-
-    return (
-        totals.join(top_bg, id_col, "left")
-        .join(dup_tg, id_col, "left")
-        .select(
-            id_col,
-            F.round(1 - F.col("n_uniq") / F.col("n_tok"), 6).alias("dup_token_frac"),
-            F.round(
-                F.coalesce(F.col("top_bg_chars"), F.lit(0)) / F.greatest("total_chars", F.lit(1)),
-                6,
-            ).alias("top_bigram_char_frac"),
-            F.round(
-                F.coalesce(F.col("dup_tg_chars"), F.lit(0)) / F.greatest("total_chars", F.lit(1)),
-                6,
-            ).alias("dup_trigram_char_frac"),
-        )
+        F.round(1 - F.col("n_uniq") / F.col("n_tok"), 6).alias("dup_token_frac"),
+        F.round(
+            F.coalesce(F.col("top_bg_chars"), F.lit(0)) / F.greatest("total_chars", F.lit(1)),
+            6,
+        ).alias("top_bigram_char_frac"),
+        F.round(
+            F.coalesce(F.col("dup_tg_chars"), F.lit(0)) / F.greatest("total_chars", F.lit(1)),
+            6,
+        ).alias("dup_trigram_char_frac"),
     )
