@@ -96,3 +96,85 @@ def pointer_order_stage(df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
         )
 
     return df.groupBy(doc_col).applyInPandas(decode, schema=_ORDER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# learned pointer decode (GCN-PN forward pass, injectable weights)
+# ---------------------------------------------------------------------------
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _lstm_cell(x, h, c, w):
+    """Standard LSTMCell equations, PyTorch gate order (i, f, g, o)."""
+    z = w["w_ih"] @ x + w["b_ih"] + w["w_hh"] @ h + w["b_hh"]
+    i, f, g, o = np.split(z, 4)
+    c2 = _sigmoid(f) * c + _sigmoid(i) * np.tanh(g)
+    h2 = _sigmoid(o) * np.tanh(c2)
+    return h2, c2
+
+
+def pointer_order_nn(node_emb: np.ndarray, weights: dict) -> list[int]:
+    """The reference's pointer decode (pointer_head.py:76-125) as a
+    pure-numpy forward pass with INJECTABLE weights — the sandbox has
+    no torch and no trained checkpoint, so the learned parameters are
+    an input, not a stub: load them from any exported state dict and
+    the decode is the reference's.
+
+    weights: w_ih [4H,I], w_hh [4H,H], b_ih, b_hh (LSTMCell, torch
+    gate order), w_key [H,M], b_key, w_query [H,H], b_query,
+    decoder_init [I] (the constant step input, as in the reference),
+    hidden_init [H]. The cell state starts from the global feature
+    z_g = mean(node_emb) (the GCN's pooled vector in the reference).
+
+    Per step: (h, c) <- LSTMCell(decoder_init, (h, c)); query = W_q h;
+    scores = query . key_j; visited j masked to -1e9; argmax appends.
+    Returns order_pred per region (position of each region in the
+    predicted sequence)."""
+    n = len(node_emb)
+    if n == 0:
+        return []
+    emb = np.asarray(node_emb, dtype=np.float64)
+    key = emb @ weights["w_key"].T + weights["b_key"]
+    h = np.asarray(weights["hidden_init"], dtype=np.float64)
+    z_g = emb.mean(axis=0)
+    if "w_zg" in weights:  # optional projection when emb dim != hidden dim
+        c = weights["w_zg"] @ z_g
+    elif emb.shape[1] == len(h):
+        c = z_g
+    else:
+        raise ValueError("emb dim != hidden dim: provide weights['w_zg']")
+    x = np.asarray(weights["decoder_init"], dtype=np.float64)
+    visited = np.zeros(n, dtype=bool)
+    order = np.zeros(n, dtype=np.int64)
+    for step in range(n):
+        h, c = _lstm_cell(x, h, c, weights)
+        query = weights["w_query"] @ h + weights["b_query"]
+        scores = key @ query
+        scores[visited] = -1e9
+        cur = int(np.argmax(scores))
+        order[cur] = step
+        visited[cur] = True
+    return order.tolist()
+
+
+def pointer_order_nn_stage(
+    df: DataFrame, weights: dict, emb_cols: list[str], doc_col: str = "doc_id"
+) -> DataFrame:
+    """groupBy(doc).applyInPandas learned pointer decode: rows carry a
+    per-region feature vector in ``emb_cols``; weights ride to the
+    executors in the task closure (at scale: a broadcast variable)."""
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("region_id")
+        emb = pdf[emb_cols].to_numpy(dtype=np.float64)
+        order = pointer_order_nn(emb, weights)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf[doc_col],
+                "region_id": pdf["region_id"].astype("int32"),
+                "order_pred": np.asarray(order, dtype="int32"),
+            }
+        )
+
+    return df.groupBy(doc_col).applyInPandas(decode, schema=_ORDER_SCHEMA)

@@ -68,3 +68,93 @@ def test_chargrid_clamps_page_edge_boxes():
     # overflow on the far side clamps to the page
     grid2 = chargrid_py(4, 4, [[3]], [[[2.0, 2.0, 9.0, 9.0]]])
     assert (grid2 != 0).sum() == 4 and grid2[3, 3] == 3
+
+
+def test_pointer_order_nn_constant_query_golden():
+    """With w_query = 0 the query is the constant b_query every step, so
+    the masked argmax emits regions in descending key.b_query order —
+    an analytically known permutation that exercises the whole forward
+    (LSTM state updates run but cannot change the scores)."""
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.ordering import pointer_order_nn
+
+    hdim, m = 4, 4
+    rng = np.random.default_rng(3)
+    emb = rng.normal(0, 1, (6, m))
+    weights = {
+        "w_ih": rng.normal(0, 0.3, (4 * hdim, hdim)),
+        "w_hh": rng.normal(0, 0.3, (4 * hdim, hdim)),
+        "b_ih": np.zeros(4 * hdim),
+        "b_hh": np.zeros(4 * hdim),
+        "w_key": np.eye(hdim, m),
+        "b_key": np.zeros(hdim),
+        "w_query": np.zeros((hdim, hdim)),
+        "b_query": np.array([1.0, 2.0, -1.0, 0.5]),
+        "decoder_init": np.zeros(hdim),
+        "hidden_init": np.zeros(hdim),
+    }
+    got = pointer_order_nn(emb, weights)
+    proj = emb @ weights["b_query"]
+    want_sequence = np.argsort(-proj, kind="stable")
+    want = np.empty(len(emb), dtype=int)
+    for step, region in enumerate(want_sequence):
+        want[region] = step
+    assert got == want.tolist()
+
+
+def test_pointer_order_nn_query_evolution_changes_order():
+    """A non-degenerate w_query makes the score vector step-dependent
+    (the LSTM state matters): assert the decode is a valid permutation
+    and differs from the constant-query order for crafted weights."""
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.ordering import pointer_order_nn
+
+    hdim = m = 3
+    rng = np.random.default_rng(11)
+    emb = rng.normal(0, 1, (5, m))
+    weights = {
+        "w_ih": rng.normal(0, 1.2, (4 * hdim, hdim)),
+        "w_hh": rng.normal(0, 1.2, (4 * hdim, hdim)),
+        "b_ih": rng.normal(0, 0.5, 4 * hdim),
+        "b_hh": rng.normal(0, 0.5, 4 * hdim),
+        "w_key": np.eye(hdim),
+        "b_key": np.zeros(hdim),
+        "w_query": rng.normal(0, 1.5, (hdim, hdim)),
+        "b_query": np.zeros(hdim),
+        "decoder_init": rng.normal(0, 1.0, hdim),
+        "hidden_init": rng.normal(0, 1.0, hdim),
+    }
+    got = pointer_order_nn(emb, weights)
+    assert sorted(got) == list(range(5))
+
+
+def test_pointer_order_nn_stage(spark):
+    import numpy as np
+
+    from davar_lab_ocr_spark.operators.ordering import (
+        pointer_order_nn,
+        pointer_order_nn_stage,
+    )
+
+    hdim = m = 2
+    weights = {
+        "w_ih": np.zeros((4 * hdim, hdim)),
+        "w_hh": np.zeros((4 * hdim, hdim)),
+        "b_ih": np.zeros(4 * hdim),
+        "b_hh": np.zeros(4 * hdim),
+        "w_key": np.eye(hdim),
+        "b_key": np.zeros(hdim),
+        "w_query": np.zeros((hdim, hdim)),
+        "b_query": np.array([1.0, 0.0]),
+        "decoder_init": np.zeros(hdim),
+        "hidden_init": np.zeros(hdim),
+    }
+    rows = [("d0", i, float(i % 3), float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id string, region_id int, f0 double, f1 double")
+    got = {r["region_id"]: r["order_pred"]
+           for r in pointer_order_nn_stage(df, weights, ["f0", "f1"]).collect()}
+    emb = np.array([[i % 3, i] for i in range(6)], dtype=float)
+    want = pointer_order_nn(emb, weights)
+    assert [got[i] for i in range(6)] == want
