@@ -659,7 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from davar_lab_ocr_spark.schemas import EVAL_PAIRS
 
         rows = _eval_fixture_rows()
-        return M.det_hmean(spark.createDataFrame(rows, schema=EVAL_PAIRS))
+        # the FULL reference summary (incl. the CONFIDENCES ave_precision
+        # sweep and the TIoU triple, hmean.py:326-345)
+        return M.det_eval_full(spark.createDataFrame(rows, schema=EVAL_PAIRS))
 
     q["det_hmean_fixture"] = det_hmean_fixture
 
@@ -1845,7 +1847,7 @@ def oracle_sql() -> dict[str, str]:
         # hand-golden-tested single-process kernel; see
         # tools/make_expected_fixtures.py)
         "det_hmean_fixture": f"""
-            SELECT precision, recall, hmean,
+            SELECT precision, recall, hmean, ave_precision,
                    tiou_precision, tiou_recall, tiou_hmean
             FROM read_parquet('{FIXTURES}/expected_det_hmean.parquet')
         """,

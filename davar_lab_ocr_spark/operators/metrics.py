@@ -98,11 +98,11 @@ def _tiou_precision_term(
     return inter * f_ot / union
 
 
-def _match_one_doc(doc_id: str, pred, gt, iou_thr=0.5, area_prec_thr=0.5):
-    """Greedy 1-1 polygon match in (gt, det) index order (hmean.py
-    semantics; coordinates int-truncated as the reference does).
-    Alongside the standard match counts, accumulates the TIoU terms of
-    each matched pair (hmean.py:283-285 detMatched_tiouGt/Dt)."""
+def _greedy_match(pred, gt, iou_thr=0.5, area_prec_thr=0.5):
+    """The hmean.py greedy 1-1 matcher (coordinates int-truncated as the
+    reference does): returns (pairs [(gt_i, det_j)], dontcare_gt list,
+    dontcare_det list, gt_polys, det_polys). Shared by the count
+    aggregation, the TIoU accumulation, and the per-detection AP rows."""
     gt_polys = [np.asarray(g["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for g in gt]
     det_polys = [
         np.asarray(d["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for d in pred
@@ -121,8 +121,7 @@ def _match_one_doc(doc_id: str, pred, gt, iou_thr=0.5, area_prec_thr=0.5):
 
     gt_used = np.zeros(len(gt_polys), dtype=bool)
     det_used = np.zeros(len(det_polys), dtype=bool)
-    matched = 0
-    tiou_gt = tiou_dt = 0.0
+    pairs = []
     for i in range(len(gt_polys)):
         for j in range(len(det_polys)):
             if (
@@ -134,16 +133,25 @@ def _match_one_doc(doc_id: str, pred, gt, iou_thr=0.5, area_prec_thr=0.5):
             ):
                 gt_used[i] = True
                 det_used[j] = True
-                matched += 1
-                inter = convex_poly_intersection_area(det_polys[j], gt_polys[i])
-                union = poly_area(det_polys[j]) + poly_area(gt_polys[i]) - inter
-                tiou_gt += _tiou_recall_term(inter, union, poly_area(gt_polys[i]))
-                tiou_dt += _tiou_precision_term(
-                    det_polys[j], gt_polys[i], i, gt_polys, inter, union
-                )
+                pairs.append((i, j))
+    return pairs, dontcare_gt, dontcare_det, gt_polys, det_polys
+
+
+def _match_one_doc(doc_id: str, pred, gt, iou_thr=0.5, area_prec_thr=0.5):
+    """Per-doc match counts + TIoU term sums (hmean.py:283-285
+    detMatched_tiouGt/Dt accumulation)."""
+    pairs, dontcare_gt, dontcare_det, gt_polys, det_polys = _greedy_match(
+        pred, gt, iou_thr, area_prec_thr
+    )
+    tiou_gt = tiou_dt = 0.0
+    for i, j in pairs:
+        inter = convex_poly_intersection_area(det_polys[j], gt_polys[i])
+        union = poly_area(det_polys[j]) + poly_area(gt_polys[i]) - inter
+        tiou_gt += _tiou_recall_term(inter, union, poly_area(gt_polys[i]))
+        tiou_dt += _tiou_precision_term(det_polys[j], gt_polys[i], i, gt_polys, inter, union)
     return {
         "doc_id": doc_id,
-        "matched": matched,
+        "matched": len(pairs),
         "care_det": len(det_polys) - len(dontcare_det),
         "care_gt": len(gt_polys) - len(dontcare_gt),
         "matched_tiou_gt": tiou_gt,
@@ -355,6 +363,127 @@ def det_hmean(pairs: DataFrame, iou_thr: float = 0.5, area_prec_thr: float = 0.5
     )
 
 
+_DET_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("det_idx", T.IntegerType()),
+        T.StructField("conf", T.DoubleType()),
+        T.StructField("matched", T.IntegerType()),
+        T.StructField("care_gt", T.IntegerType()),
+        T.StructField("matched_tiou_gt", T.DoubleType()),
+        T.StructField("matched_tiou_dt", T.DoubleType()),
+    ]
+)
+
+
+def det_detections_stage(
+    pairs: DataFrame, iou_thr: float = 0.5, area_prec_thr: float = 0.5
+) -> DataFrame:
+    """Per-DETECTION match rows for the reference's CONFIDENCES path
+    (hmean.py:300-311 arrGlobalConfidences/arrGlobalMatches): one row
+    per care detection (det_idx, conf, matched) plus one doc-summary
+    sentinel row (det_idx = -1) carrying care_gt and the TIoU sums —
+    the sentinel keeps docs whose ground truth no detection touched in
+    the AP/recall denominators."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, pred, gt in zip(pdf["doc_id"], pdf["pred"], pdf["gt"]):
+                mpairs, dontcare_gt, dontcare_det, gt_polys, det_polys = _greedy_match(
+                    pred, gt, iou_thr, area_prec_thr
+                )
+                matched_dets = {j for _, j in mpairs}
+                tiou_gt = tiou_dt = 0.0
+                for i, j in mpairs:
+                    inter = convex_poly_intersection_area(det_polys[j], gt_polys[i])
+                    union = poly_area(det_polys[j]) + poly_area(gt_polys[i]) - inter
+                    tiou_gt += _tiou_recall_term(inter, union, poly_area(gt_polys[i]))
+                    tiou_dt += _tiou_precision_term(
+                        det_polys[j], gt_polys[i], i, gt_polys, inter, union
+                    )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "det_idx": -1,
+                        "conf": None,
+                        "matched": 0,
+                        "care_gt": len(gt_polys) - len(dontcare_gt),
+                        "matched_tiou_gt": tiou_gt,
+                        "matched_tiou_dt": tiou_dt,
+                    }
+                )
+                for j, d in enumerate(pred):
+                    if j in dontcare_det:
+                        continue
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "det_idx": j,
+                            "conf": float(d["conf"]) if d["conf"] is not None else 0.0,
+                            "matched": int(j in matched_dets),
+                            "care_gt": None,
+                            "matched_tiou_gt": None,
+                            "matched_tiou_dt": None,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in _DET_ROWS_SCHEMA.fields])
+
+    return pairs.mapInPandas(run, schema=_DET_ROWS_SCHEMA)
+
+
+def det_eval_full(
+    pairs: DataFrame,
+    iou_thr: float = 0.5,
+    area_prec_thr: float = 0.5,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """The reference's FULL detection summary (hmean.py:326-345
+    methodMetrics): precision, recall, hmean, ave_precision (the
+    CONFIDENCES sweep over all care detections, denominator =
+    numGlobalCareGt), and the TIoU triple — one row. Built from ONE
+    pass of the greedy matcher (det_detections_stage); the AP sweep
+    uses the two-phase distributed cumsum."""
+    rows = det_detections_stage(pairs, iou_thr, area_prec_thr)
+    det_rows = rows.filter(F.col("det_idx") >= 0)
+    counts = rows.agg(
+        F.sum("matched").alias("m"),
+        F.sum((F.col("det_idx") >= 0).cast("long")).alias("d"),
+        F.sum("care_gt").alias("g"),
+        F.sum("matched_tiou_gt").alias("tg"),
+        F.sum("matched_tiou_dt").alias("td"),
+    )
+    ap = compute_ap(
+        det_rows.withColumn("tid", F.concat_ws("#", "doc_id", "det_idx")),
+        "conf",
+        "matched",
+        id_col="tid",
+        n_gt=counts.select(F.col("g").alias("n_gt")),
+        n_buckets=n_buckets,
+    )
+    p = F.when(F.col("d") > 0, F.col("m") / F.col("d")).otherwise(F.lit(0.0))
+    r = F.when(F.col("g") > 0, F.col("m") / F.col("g")).otherwise(F.lit(0.0))
+    tp = F.when(F.col("d") > 0, F.col("td") / F.col("d")).otherwise(F.lit(0.0))
+    tr = F.when(F.col("g") > 0, F.col("tg") / F.col("g")).otherwise(F.lit(0.0))
+
+    def hm(a, b):
+        return F.when(a + b > 0, 2 * a * b / (a + b)).otherwise(F.lit(0.0))
+
+    return (
+        counts.select(p.alias("p"), r.alias("r"), tp.alias("tp"), tr.alias("tr"))
+        .crossJoin(F.broadcast(ap))
+        .select(
+            F.round("p", 6).alias("precision"),
+            F.round("r", 6).alias("recall"),
+            F.round(hm(F.col("p"), F.col("r")), 6).alias("hmean"),
+            F.col("ap").alias("ave_precision"),
+            F.round("tp", 6).alias("tiou_precision"),
+            F.round("tr", 6).alias("tiou_recall"),
+            F.round(hm(F.col("tp"), F.col("tr")), 6).alias("tiou_hmean"),
+        )
+    )
+
+
 def ranked_detections(
     scored: DataFrame,
     conf_col: str = "conf",
@@ -440,21 +569,29 @@ def compute_ap(
     conf_col: str = "conf",
     match_col: str = "matched",
     id_col: str | None = None,
-    n_gt: int | None = None,
+    n_gt: "int | DataFrame | None" = None,
     n_buckets: int = 32,
 ) -> DataFrame:
     """Average precision via confidence-desc cumulative precision
     (hmean.py compute_ap), distributed through the two-phase cumsum in
     :func:`ranked_detections`. scored: one row per care detection with a
-    boolean/int match flag. If n_gt is None, uses the total number of
-    matches in ``scored``."""
+    boolean/int match flag. ``n_gt``: the denominator — an int, a 1-row
+    frame with column n_gt (stays lazy; the reference divides by
+    numGlobalCareGt), or None to fall back to the match total in
+    ``scored``."""
     ranked = ranked_detections(scored, conf_col, match_col, id_col, n_buckets)
     s = ranked.filter(F.col("m") == 1).agg(F.sum(F.col("cum_correct") / F.col("rank")).alias("s"))
+    if isinstance(n_gt, DataFrame):
+        return s.crossJoin(F.broadcast(n_gt.select("n_gt"))).select(
+            F.round(F.coalesce(F.col("s"), F.lit(0.0)) / F.greatest(F.col("n_gt"), F.lit(1)), 6).alias("ap")
+        )
     if n_gt is not None:
-        return s.select(F.round(F.col("s") / F.lit(max(n_gt, 1)), 6).alias("ap"))
+        return s.select(
+            F.round(F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(max(n_gt, 1)), 6).alias("ap")
+        )
     g = scored.agg(F.sum(F.col(match_col).cast("int")).alias("g"))
     return s.crossJoin(g).select(
-        F.round(F.col("s") / F.greatest(F.col("g"), F.lit(1)), 6).alias("ap")
+        F.round(F.coalesce(F.col("s"), F.lit(0.0)) / F.greatest(F.col("g"), F.lit(1)), 6).alias("ap")
     )
 
 

@@ -300,3 +300,34 @@ def test_tiou_outlier_area_nets_out_matched_gt_overlap(spark):
     out = det_hmean(spark.createDataFrame(rows, schema=EVAL_PAIRS)).collect()[0]
     # perfect match of gt1, Ot nets to zero -> tiou_dt term = I/U = 1.0
     assert out["tiou_precision"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_det_eval_full_with_ap_golden(spark):
+    """Full reference summary incl. the CONFIDENCES AP sweep: matches
+    at ranks 1 and 3 (FP at rank 2), 2 care gt ->
+    AP = (1/1 + 2/3)/2 = 0.833333; P=2/3, R=1."""
+    from davar_lab_ocr_spark.operators.metrics import det_eval_full
+    from davar_lab_ocr_spark.schemas import EVAL_PAIRS
+
+    def rpoly(x0, y0, x1, y1):
+        return [float(x0), float(y0), float(x1), float(y0),
+                float(x1), float(y1), float(x0), float(y1)]
+
+    rows = [{
+        "doc_id": "ap",
+        "gt": [
+            {"poly": rpoly(0, 0, 100, 40), "care": 1, "text": "a"},
+            {"poly": rpoly(0, 100, 100, 140), "care": 1, "text": "b"},
+        ],
+        "pred": [
+            {"poly": rpoly(0, 0, 100, 40), "conf": 0.9, "text": "a"},
+            {"poly": rpoly(500, 500, 560, 520), "conf": 0.8, "text": "x"},
+            {"poly": rpoly(0, 100, 100, 140), "conf": 0.7, "text": "b"},
+        ],
+    }]
+    out = det_eval_full(spark.createDataFrame(rows, schema=EVAL_PAIRS)).collect()[0]
+    assert out["precision"] == pytest.approx(round(2 / 3, 6))
+    assert out["recall"] == pytest.approx(1.0)
+    assert out["ave_precision"] == pytest.approx(round((1 + 2 / 3) / 2, 6))
+    # exact matches -> tiou == standard
+    assert out["tiou_recall"] == pytest.approx(1.0)

@@ -146,11 +146,14 @@ def main():
     # derivation — documented) ------------------------------------------
     import __spark_entry__ as E
 
-    # det_hmean_fixture: replay the greedy matcher + corpus aggregation
-    from davar_lab_ocr_spark.operators.metrics import _match_one_doc
+    # det_hmean_fixture: replay the greedy matcher + corpus aggregation;
+    # the ave_precision replay is a SINGLE-NODE sort — an independent
+    # derivation of the distributed two-phase ranked cumsum's answer
+    from davar_lab_ocr_spark.operators.metrics import _greedy_match, _match_one_doc
 
     m = d = g = 0
     tg = td = 0.0
+    det_rows = []  # (conf, tid, matched)
     for row in E._eval_fixture_rows():
         r = _match_one_doc(row["doc_id"], row["pred"], row["gt"])
         m += r["matched"]
@@ -158,6 +161,21 @@ def main():
         g += r["care_gt"]
         tg += r["matched_tiou_gt"]
         td += r["matched_tiou_dt"]
+        mpairs, _dg, dontcare_det, _gp, _dp = _greedy_match(row["pred"], row["gt"])
+        matched_dets = {j for _, j in mpairs}
+        for j, det in enumerate(row["pred"]):
+            if j not in dontcare_det:
+                det_rows.append(
+                    (float(det["conf"]), f"{row['doc_id']}#{j}", int(j in matched_dets))
+                )
+    det_rows.sort(key=lambda t: (-t[0], t[1]))
+    cum = 0
+    ap_sum = 0.0
+    for rank, (_c, _t, mm) in enumerate(det_rows, start=1):
+        cum += mm
+        if mm:
+            ap_sum += cum / rank
+    ap = round(ap_sum / max(g, 1), 6)
     p, rr = (m / d if d else 0.0), (m / g if g else 0.0)
     h = 2 * p * rr / (p + rr) if p + rr > 0 else 0.0
     tp, trc = (td / d if d else 0.0), (tg / g if g else 0.0)
@@ -167,6 +185,7 @@ def main():
             "precision": pa.array([round(p, 6)], pa.float64()),
             "recall": pa.array([round(rr, 6)], pa.float64()),
             "hmean": pa.array([round(h, 6)], pa.float64()),
+            "ave_precision": pa.array([ap], pa.float64()),
             "tiou_precision": pa.array([round(tp, 6)], pa.float64()),
             "tiou_recall": pa.array([round(trc, 6)], pa.float64()),
             "tiou_hmean": pa.array([round(th, 6)], pa.float64()),
