@@ -60,3 +60,53 @@ def test_stream_best_frame_updates_only_on_improvement(spark, tmp_path):
     assert by_track[1][-1] == ("hi", 0.8) and len(by_track[1]) == 2
     # track 2 never improved after batch 1 -> single emission
     assert by_track[2] == [("x", 0.9)]
+
+
+def test_sessionized_tracks_drops_late_frames(spark, tmp_path):
+    """Watermark semantics on the session-window path: a frame arriving
+    a microbatch later but older than the watermark must NOT join (or
+    re-open) its already-finalized session."""
+    from davar_lab_ocr_spark.streaming.tracks import sessionized_tracks
+
+    src = str(tmp_path / "late_src")
+    schema = "video_id string, track_id int, frame_id long, text string, score double"
+    # batch 1: track 1 session (frames 100, 103) + a watermark pusher at
+    # t=1000 on another track (watermark -> 940 at the next batch)
+    spark.createDataFrame(
+        [("v", 1, 100, "abc", 0.9), ("v", 1, 103, "abd", 0.8), ("v", 2, 1000, "zz", 0.5)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # FileStreamSource orders pending files by modification time; the
+    # writes must not share a timestamp or batches can reorder. The
+    # watermark derived from batch N's max event time becomes OPERATIVE
+    # at batch N+2 (computed after N, applied to the next planned
+    # batch), so the late frame goes in the third file
+    import time
+
+    time.sleep(1.2)
+    # batch 2: keeps the stream moving; state for track 1 is evicted
+    # here (watermark 940 > session end)
+    spark.createDataFrame([("v", 2, 1001, "zz", 0.6)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.2)
+    # batch 3: LATE frame for track 1 (t=101 < watermark 940) + pusher
+    spark.createDataFrame(
+        [("v", 1, 101, "late", 0.99), ("v", 2, 1002, "zz", 0.6)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def op(stream):
+        return sessionized_tracks(
+            stream.withColumn("frame_ts", F.timestamp_seconds(F.col("frame_id"))),
+            gap_seconds=5,
+            watermark="60 seconds",
+        )
+
+    rows = _run_stream(spark, src, schema, op, "late_out", 3)
+    t1 = [r for r in rows if r["track_id"] == 1]
+    assert len(t1) == 1
+    # the finalized session holds exactly the 2 on-time frames; the late
+    # high-score frame neither joined it nor spawned an emitted session
+    assert t1[0]["n_frames"] == 2
+    assert t1[0]["best_text"] == "abc"
+    assert not [r for r in rows if r["track_id"] == 1 and r["n_frames"] == 1]
