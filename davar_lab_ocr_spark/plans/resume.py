@@ -79,11 +79,13 @@ class SnapshotSink:
         """Union of committed snapshots (uncommitted dirs invisible).
         ``as_of`` time-travels: only batches committed up to and
         including that batch_id are visible — reproduces any historical
-        read of the table."""
+        read of the table. Reads with mergeSchema: a later batch may
+        ADD columns (the Iceberg schema-evolution analog) and earlier
+        snapshots surface them as nulls."""
         paths = self.committed_paths(as_of)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def processed_doc_ids(self, spark: SparkSession) -> DataFrame | None:
         df = self.read(spark)

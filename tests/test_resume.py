@@ -88,3 +88,33 @@ def test_time_travel_read(spark, tmp_path):
     assert sink.read(spark, as_of="b2").count() == n_all
     with pytest.raises(KeyError):
         sink.read(spark, as_of="nope")
+
+
+def test_snapshot_read_merges_evolved_schema(spark, tmp_path):
+    """A later batch may add columns (Iceberg schema-evolution analog):
+    the unioned read surfaces the new column, nulls for old batches,
+    and the resume anti-join keeps working."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.plans.resume import SnapshotSink
+
+    sink = SnapshotSink(str(tmp_path / "evo"))
+    spans = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    d1 = spark.createDataFrame(
+        [("a", [("text", "x", "", 0)])], f"doc_id string, spans {spans}"
+    )
+    sink.write_batch(d1, batch_id="b1")
+    d2 = spark.createDataFrame(
+        [("b", [("text", "y", "", 0)], "en")],
+        f"doc_id string, spans {spans}, lang string",
+    )
+    sink.write_batch(d2, batch_id="b2")
+
+    got = sink.read(spark)
+    assert "lang" in got.columns
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert rows["a"]["lang"] is None and rows["b"]["lang"] == "en"
+    # time travel to b1 shows the pre-evolution schema
+    old = sink.read(spark, as_of="b1")
+    assert "lang" not in old.columns
+    assert sink.processed_doc_ids(spark).count() == 2
