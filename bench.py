@@ -182,6 +182,7 @@ def main() -> None:
         _serve(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
         return
 
+    globals()["_BENCH_T0"] = time.time()
     os.makedirs(WORK_DIR, exist_ok=True)
     corpus_path = os.path.join(WORK_DIR, f"corpus_{BENCH_DOCS}")
 
@@ -321,7 +322,15 @@ def main() -> None:
     # repeats of one query) make each query's samples land in different
     # contention windows
     query_rounds = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "3"))
-    for _ in range(query_rounds):
+    # global soft deadline: if the scaling phase ate the wall clock
+    # (bad weather), degrade to fewer suite rounds / skipped probes
+    # instead of risking the caller's timeout; round 1 always completes
+    # so every query has a sample
+    total_budget = float(os.environ.get("SPARK_GRAFT_TOTAL_BUDGET_SEC", "540"))
+    t_start = globals().get("_BENCH_T0", time.time())
+    for rnd in range(query_rounds):
+        if rnd > 0 and time.time() - t_start > total_budget:
+            break
         for name in HEADLINE:
             if name not in qs:
                 continue
@@ -337,6 +346,9 @@ def main() -> None:
     # total would break round-over-round comparability of the metric
     probe_timings: dict[str, float] = {}
     for name, mk in _fulltable_probes(spark).items():
+        if time.time() - t_start > total_budget * 1.1:
+            probe_timings[name] = -1.0  # skipped under deadline pressure
+            continue
         t0 = time.time()
         mk().write.format("noop").mode("overwrite").save()
         probe_timings[name] = round(time.time() - t0, 3)
