@@ -146,7 +146,7 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
                 break
         procs[(cores, split)] = p
     best: dict[tuple[int, str], float] = {k: float("inf") for k in procs}
-    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "330"))
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "300"))
     t0 = time.time()
     for rnd in range(rounds):
         n_before = best[primary[0][0]] if primary else None
@@ -323,14 +323,15 @@ def main() -> None:
     # contention windows
     query_rounds = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "3"))
     # global soft deadline: if the scaling phase ate the wall clock
-    # (bad weather), degrade to fewer suite rounds / skipped probes
-    # instead of risking the caller's timeout; round 1 always completes
-    # so every query has a sample
-    total_budget = float(os.environ.get("SPARK_GRAFT_TOTAL_BUDGET_SEC", "540"))
+    # (bad weather), degrade gracefully instead of risking the caller's
+    # timeout. Priority order: one full suite pass (every query gets a
+    # sample) -> all full-table probes -> extra suite passes for the
+    # min-of-N. The extras go LAST because they only tighten existing
+    # samples, while a skipped probe is missing evidence.
+    total_budget = float(os.environ.get("SPARK_GRAFT_TOTAL_BUDGET_SEC", "480"))
     t_start = globals().get("_BENCH_T0", time.time())
-    for rnd in range(query_rounds):
-        if rnd > 0 and time.time() - t_start > total_budget:
-            break
+
+    def run_suite_pass():
         for name in HEADLINE:
             if name not in qs:
                 continue
@@ -340,6 +341,8 @@ def main() -> None:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, float("inf")), dt)
+
+    run_suite_pass()
 
     # separate key, NOT summed into `value`: these are perf-only
     # observations over the whole tables; folding them into the suite
@@ -352,6 +355,11 @@ def main() -> None:
         t0 = time.time()
         mk().write.format("noop").mode("overwrite").save()
         probe_timings[name] = round(time.time() - t0, 3)
+
+    for _ in range(query_rounds - 1):
+        if time.time() - t_start > total_budget:
+            break
+        run_suite_pass()
     spark.stop()
 
     for root in (WORK_DIR, "/dev/shm/spark_bench"):
