@@ -29,30 +29,58 @@ DEDUP_OUT = T.StructType(
 DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
 
 
-def _dedup_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    if state.exists:
-        return iter(())
-    first = None
-    for pdf in pdfs:
-        if len(pdf):
-            row = pdf.sort_values("doc_id").iloc[0]
-            if first is None or row["doc_id"] < first:
-                first = int(row["doc_id"])
-    if first is None:
-        return iter(())
-    state.update((True,))
-    return iter([pd.DataFrame({"digest": [key[0]], "doc_id": [first]})])
+def _make_dedup_fn(ttl_ms: int | None):
+    def _dedup_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return iter(())
+        if state.exists:
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # hot keys stay deduped
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                row = pdf.sort_values("doc_id").iloc[0]
+                if first is None or row["doc_id"] < first:
+                    first = int(row["doc_id"])
+        if first is None:
+            return iter(())
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        return iter([pd.DataFrame({"digest": [key[0]], "doc_id": [first]})])
+
+    return _dedup_fn
 
 
-def stream_dedup(events):
+def stream_dedup(events, ttl_ms: int | None = None):
     """events: streaming df with (digest string, doc_id long). Emits
-    each digest exactly once (first doc_id wins), across microbatches."""
+    each digest exactly once (first doc_id wins), across microbatches.
+
+    ``ttl_ms``: optional processing-time state TTL. Without it, state
+    holds one entry per distinct digest FOREVER — unbounded at
+    10^12-doc scale. With it, a digest idle for ttl_ms is forgotten
+    (bounded state, the production trade: a duplicate arriving after
+    the TTL re-emits; exact once-ever dedup is the batch
+    exact_dedup path).
+
+    Constraint: processing-time timeouts fire only while the query
+    runs on a periodic trigger — use ``trigger(processingTime=...)``;
+    ``availableNow``/one-shot runs never fire the timeouts (and can
+    keep scheduling batches while timeouts are pending), so ttl_ms
+    with a one-shot trigger is unsupported."""
+    fn = _make_dedup_fn(ttl_ms)
     return events.groupBy("digest").applyInPandasWithState(
-        _dedup_fn,
+        fn,
         outputStructType=DEDUP_OUT,
         stateStructType=DEDUP_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

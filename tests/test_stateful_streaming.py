@@ -110,3 +110,62 @@ def test_sessionized_tracks_drops_late_frames(spark, tmp_path):
     assert t1[0]["n_frames"] == 2
     assert t1[0]["best_text"] == "abc"
     assert not [r for r in rows if r["track_id"] == 1 and r["n_frames"] == 1]
+
+
+def test_stream_dedup_ttl_bounds_state(spark, tmp_path):
+    """With a processing-time TTL, a digest idle past the TTL is
+    forgotten (bounded state at corpus scale) and a later duplicate
+    re-emits. Processing-time timeouts fire only while the query runs
+    on a periodic trigger (documented constraint), so this test keeps
+    one query alive across the TTL window instead of using
+    availableNow."""
+    import time
+
+    from davar_lab_ocr_spark.streaming.stateful import stream_dedup
+
+    src = str(tmp_path / "ttl_src")
+    chk = str(tmp_path / "ttl_chk")
+    out = str(tmp_path / "ttl_out")
+    schema = "digest string, doc_id long"
+
+    spark.createDataFrame([("a", 1)], schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_dedup(stream, ttl_ms=500)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", chk)
+        .option("path", out)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        # wait for the first emission, then well past the TTL
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        time.sleep(3)  # several trigger intervals beyond the 500ms TTL
+        spark.createDataFrame([("a", 9)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = sorted(
+                    (r["digest"], r["doc_id"]) for r in spark.read.parquet(out).collect()
+                )
+            except Exception:
+                rows = []
+            if len(rows) >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # 'a' emitted twice: once per TTL window (state was forgotten between)
+    assert rows == [("a", 1), ("a", 9)]
