@@ -348,8 +348,13 @@ def main() -> None:
     # observations over the whole tables; folding them into the suite
     # total would break round-over-round comparability of the metric
     probe_timings: dict[str, float] = {}
+    # probes are short (~45s total) and are the only full-table evidence
+    # for the dedup/ANN/seg operators — they run unless the wall clock is
+    # catastrophically gone (child boot + scaling under contention can
+    # legitimately reach ~500s, which must NOT skip them)
+    probe_cutoff = float(os.environ.get("SPARK_GRAFT_PROBE_CUTOFF_SEC", "900"))
     for name, mk in _fulltable_probes(spark).items():
-        if time.time() - t_start > total_budget * 1.1:
+        if time.time() - t_start > probe_cutoff:
             probe_timings[name] = -1.0  # skipped under deadline pressure
             continue
         t0 = time.time()
