@@ -1382,11 +1382,30 @@ def oracle_sql() -> dict[str, str]:
             ),
             bands AS (
 {band_union}
+            ),
+            -- band-bucket skew cap (mirrors minhash_lsh_pairs
+            -- max_band_bucket=64): oversized buckets use star pairing
+            -- against the min-id representative instead of all-pairs
+            bsz AS (SELECT band, bkey, count(*) AS bn FROM bands GROUP BY 1, 2),
+            cold AS (
+                SELECT b.* FROM bands b JOIN bsz USING (band, bkey) WHERE bsz.bn <= 64
+            ),
+            hot AS (
+                SELECT b.* FROM bands b JOIN bsz USING (band, bkey) WHERE bsz.bn > 64
+            ),
+            reps AS (SELECT band, bkey, min(doc_id) AS rep FROM hot GROUP BY 1, 2),
+            edges AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM cold x
+                JOIN cold y ON x.band = y.band AND x.bkey = y.bkey
+                           AND x.doc_id < y.doc_id
+                UNION ALL
+                SELECT r.rep AS id_a, h.doc_id AS id_b
+                FROM hot h
+                JOIN reps r ON h.band = r.band AND h.bkey = r.bkey
+                WHERE h.doc_id != r.rep
             )
-            SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_bands
-            FROM bands x
-            JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-            GROUP BY 1, 2
+            SELECT id_a, id_b, count(*) AS n_bands FROM edges GROUP BY 1, 2
         """,
         "simhash": f"""
             WITH toks AS (

@@ -69,7 +69,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 256,
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard similarity >= threshold:
     (id_a, id_b, jaccard). Exact (no sketching): inverted-index
@@ -82,6 +82,12 @@ def ngram_jaccard_pairs(
     set sizes (jaccard is then over the capped shingle sets). The hot
     set is tiny by construction (<= total_occurrences / cap keys), so it
     anti-joins in as a broadcast.
+
+    The cap is ON by default (256): the uncapped plan is the d^2/2
+    posting-list explosion that kills the job on any corpus with
+    boilerplate, which is exactly the corpus dedup exists for. Pass
+    ``max_shingle_df=None`` to explicitly opt out (small corpora /
+    oracle verification only).
     """
     sh = word_shingles(df, n, text_col, id_col)
     if max_shingle_df is not None:
@@ -132,10 +138,29 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, n_perm: int = 8, band_size: int = 2, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n_perm: int = 8,
+    band_size: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_band_bucket: int | None = 64,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band of the
-    MinHash signature. Returns (id_a, id_b, n_bands shared)."""
+    MinHash signature. Returns (id_a, id_b, n_bands shared).
+
+    ``max_band_bucket`` is the band-bucket skew control (ON by
+    default): a cluster of d near-identical documents — exactly what a
+    dedup corpus contains — shares every band, so the naive band
+    self-join emits d^2/2 candidate rows per band. Buckets larger than
+    the cap switch to STAR pairing: every member pairs with the
+    bucket's min-id representative only (O(d) rows), and the dup
+    cluster is recovered downstream by connected components /
+    transitive closure over the pair edges — the standard
+    production-dedup formulation. The hot-bucket key set is tiny
+    (<= n_rows / cap), so it broadcasts. ``n_bands`` for a star pair
+    counts the bands where the pair shared an oversized bucket.
+    Pass ``max_band_bucket=None`` for exhaustive within-bucket pairs.
+    """
     sig = minhash_signatures(df, n_perm, text_col, id_col)
     n_bands = n_perm // band_size
     bands = sig.select(
@@ -151,13 +176,36 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bkey"),
     )
-    return (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bkey"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .groupBy(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("n_bands"))
-    )
+
+    def _all_pairs(b: DataFrame) -> DataFrame:
+        return (
+            b.alias("x")
+            .join(b.alias("y"), ["band", "bkey"])
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+            )
+        )
+
+    if max_band_bucket is None:
+        edges = _all_pairs(bands)
+    else:
+        hot = (
+            bands.groupBy("band", "bkey")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") > max_band_bucket)
+            .select("band", "bkey")
+        )
+        cold = bands.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+        hotrows = bands.join(F.broadcast(hot), ["band", "bkey"], "left_semi")
+        reps = hotrows.groupBy("band", "bkey").agg(F.min(id_col).alias("rep"))
+        star = (
+            hotrows.join(F.broadcast(reps), ["band", "bkey"])
+            .filter(F.col(id_col) != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        edges = _all_pairs(cold).unionByName(star)
+    return edges.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 
 def simhash(df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

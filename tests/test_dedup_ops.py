@@ -140,3 +140,29 @@ def test_repetition_stats_golden(spark):
     assert got[3]["dup_token_frac"] == pytest.approx(0.75)
     assert got[3]["top_bigram_char_frac"] == pytest.approx(1.5)
     assert got[3]["dup_trigram_char_frac"] == pytest.approx(1.5)
+
+
+def test_jaccard_cap_is_default(spark):
+    # 300 docs whose ONLY shared shingles are boilerplate appearing in
+    # all 300 (> the default cap of 256): the default plan must drop
+    # them (no pairs); the explicit None opt-out links everything.
+    rows = [(i, f"unique{i} token{i} word{i} all rights reserved worldwide")
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    assert ngram_jaccard_pairs(df, threshold=0.1).count() == 0
+    assert ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=None).count() == 300 * 299 // 2
+
+
+def test_minhash_band_bucket_cap_bounds_identical_cluster(spark):
+    # d=1000 identical docs: all signatures equal, every band bucket is
+    # oversized -> star pairing emits d-1 edges (vs d*(d-1)/2 uncapped)
+    d = 1000
+    text = "the same document text repeated for the dedup cluster test body"
+    df = spark.createDataFrame([(i, text) for i in range(d)], "doc_id int, text string")
+    pairs = minhash_lsh_pairs(df).collect()
+    assert len(pairs) == d - 1
+    assert all(p["id_a"] == 0 and p["n_bands"] == 4 for p in pairs)
+    # no oversized bucket -> cap is a no-op (matches the exhaustive path)
+    small = spark.createDataFrame([(i, text) for i in range(10)], "doc_id int, text string")
+    assert minhash_lsh_pairs(small).count() == 45
+    assert minhash_lsh_pairs(small, max_band_bucket=None).count() == 45
