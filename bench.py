@@ -375,10 +375,13 @@ def main() -> None:
             "ann_full": lambda: SIM.lsh_topk(
                 emb.filter(SF.col("vec_id") % 50 == 0), emb, k=3, n_bits=8, multiprobe=True
             ),
-            # includes the Lloyd iterations (distributed assign+avg)
+            # includes the Lloyd iterations (distributed assign+avg);
+            # k=64 x dim=64 sits above _ASSIGN_EXPR_MAX_TERMS, so this
+            # measures the broadcast-matrix Arrow assign path (the one
+            # that holds at k ~ sqrt(n))
             "ivf_full": lambda: SIM.ivf_topk(
                 emb.filter(SF.col("vec_id") % 50 == 0), emb,
-                SIM.kmeans_centroids(emb, k=8, iters=2), k=3, nprobe=2,
+                SIM.kmeans_centroids(emb, k=64, iters=2), k=3, nprobe=8,
             ),
             "bpe_full": lambda: TS.bpe_token_stats(docs),
         }

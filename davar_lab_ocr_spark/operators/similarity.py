@@ -152,9 +152,10 @@ def _sq_dist_expr(vec_col, centroid: list[float]) -> F.Column:
 def _assign_expr(vec_col, centroids: list[list[float]]) -> F.Column:
     """Nearest-centroid index (0-based) via array_min over
     struct<dist, idx> — struct ordering gives min-dist, tie -> lower
-    idx. All JVM expressions; for large k*dim this assign step would
-    move to a broadcast-variable pandas UDF, but the coarse quantizer
-    is small by design (k ~ sqrt(n))."""
+    idx. All JVM expressions. The expression tree is O(k*dim) nodes
+    built into the PLAN itself, so it only suits a small coarse
+    quantizer — above _ASSIGN_EXPR_MAX_TERMS the dispatcher
+    (assign_clusters) switches to the broadcast-matrix Arrow path."""
     structs = [
         F.struct(_sq_dist_expr(vec_col, c).alias("d"), F.lit(i).alias("i"))
         for i, c in enumerate(centroids)
@@ -163,6 +164,143 @@ def _assign_expr(vec_col, centroids: list[list[float]]) -> F.Column:
     # the getField below is version-stable
     arr = F.array(*structs).cast("array<struct<d:double,i:int>>")
     return F.array_min(arr)["i"]
+
+
+# k*dim above this: the literal expression tree (and its codegen) costs
+# more than one Arrow crossing — switch to the broadcast numpy assign
+_ASSIGN_EXPR_MAX_TERMS = 512
+
+
+def _centroid_matrix(df: DataFrame, centroids: list[list[float]]):
+    """Ship the centroid matrix to executors ONCE via a real Spark
+    broadcast variable (not closure capture): at k ~ sqrt(n) the matrix
+    is MBs, and per-task closure serialization would re-ship it with
+    every task."""
+    import numpy as np
+
+    return df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+
+def _list_to_matrix(col, dim: int):
+    """Arrow list column -> (n, dim) float64 matrix, zero-ragged check."""
+    import numpy as np
+
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size != len(col) * dim:
+        raise ValueError(
+            f"ragged or wrong-dim vectors: {flat.size} values for "
+            f"{len(col)} rows of dim {dim}"
+        )
+    return flat.reshape(len(col), dim)
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    method: str = "auto",
+) -> DataFrame:
+    """Append nearest-centroid index for every row.
+
+    method='expr': JVM literal-expression path (small k*dim — zero
+    Python crossings, lives inside whole-stage codegen).
+    method='arrow': broadcast the centroid matrix, one mapInArrow
+    crossing computing argmin(-2 V C^T + |c|^2) per record batch —
+    O(k*dim) work per ROW but O(1) plan size; the path that holds at
+    k ~ sqrt(n). 'auto' switches on k*dim > _ASSIGN_EXPR_MAX_TERMS.
+    Ties: both paths pick the lowest centroid index (struct-min / first
+    argmin); the arrow path's factored distance can differ from the
+    sequential JVM sum only by float rounding on near-exact ties.
+    """
+    import pyspark.sql.types as ST
+
+    k, dim = len(centroids), len(centroids[0])
+    use_arrow = method == "arrow" or (method == "auto" and k * dim > _ASSIGN_EXPR_MAX_TERMS)
+    if not use_arrow:
+        return df.withColumn(out_col, _assign_expr(F.col(vec_col), centroids))
+
+    bc = _centroid_matrix(df, centroids)
+    out_schema = ST.StructType(df.schema.fields + [ST.StructField(out_col, ST.IntegerType())])
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = bc.value
+        c_sq = (C * C).sum(axis=1)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _list_to_matrix(batch.column(vec_col), dim)
+            # |v-c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is constant per row
+            d = c_sq[None, :] - 2.0 * (V @ C.T)
+            idx = np.argmin(d, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [pa.array(idx)],
+                names=list(batch.schema.names) + [out_col],
+            )
+
+    return df.mapInArrow(run, schema=out_schema)
+
+
+def probe_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    vec_col: str = "qv",
+    out_col: str = "cluster",
+    method: str = "auto",
+) -> DataFrame:
+    """Explode each row into its ``nprobe`` nearest centroid ids
+    (query-side IVF probe). Same expr/arrow dispatch as
+    assign_clusters; the arrow path appends a list column of the
+    nprobe nearest ids (argsort, deterministic lowest-index ties via
+    stable sort on (dist, idx)) and explodes JVM-side."""
+    import pyspark.sql.types as ST
+
+    k, dim = len(centroids), len(centroids[0])
+    use_arrow = method == "arrow" or (method == "auto" and k * dim > _ASSIGN_EXPR_MAX_TERMS)
+    if not use_arrow:
+        probe_structs = F.array(
+            *[
+                F.struct(_sq_dist_expr(F.col(vec_col), c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        ).cast("array<struct<d:double,i:int>>")
+        probes = F.transform(F.slice(F.array_sort(probe_structs), 1, nprobe), lambda s: s["i"])
+        return df.withColumn(out_col, F.explode(probes))
+
+    bc = _centroid_matrix(df, centroids)
+    tmp = "__probe_list"
+    out_schema = ST.StructType(
+        df.schema.fields + [ST.StructField(tmp, ST.ArrayType(ST.IntegerType()))]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = bc.value
+        c_sq = (C * C).sum(axis=1)
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            V = _list_to_matrix(batch.column(vec_col), dim)
+            d = c_sq[None, :] - 2.0 * (V @ C.T)
+            # stable argsort -> equal distances keep ascending index,
+            # matching the struct<d,i> ordering of the expr path
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(order.tolist(), type=pa.list_(pa.int32()))],
+                names=list(batch.schema.names) + [tmp],
+            )
+
+    out = df.mapInArrow(run, schema=out_schema)
+    return out.withColumn(out_col, F.explode(F.col(tmp))).drop(tmp)
 
 
 def kmeans_centroids(
@@ -182,8 +320,10 @@ def kmeans_centroids(
     centroids = [[float(x) for x in r["v"]] for r in init_rows]
     dim = len(centroids[0])
     for _ in range(iters):
-        assigned = df.select(
-            _assign_expr(F.col(vec_col), centroids).alias("cluster"),
+        assigned = assign_clusters(
+            df.select(F.col(vec_col)), centroids, vec_col=vec_col
+        ).select(
+            "cluster",
             F.posexplode(F.col(vec_col)).alias("pos", "x"),
         )
         rows = (
@@ -213,25 +353,16 @@ def ivf_topk(
     The probe join is a plain equi-join on cluster id — at scale the
     corpus side is hash-partitioned (or bucketed) by cluster and only
     nprobe/k of it is touched per query."""
-    probe_structs = F.array(
-        *[
-            F.struct(_sq_dist_expr(F.col("qv"), c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
-    ).cast("array<struct<d:double,i:int>>")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).select(  # second select: 'qv' must exist before the probe expr references it
-        "query_id",
-        "qv",
-        F.explode(
-            F.transform(F.slice(F.array_sort(probe_structs), 1, nprobe), lambda s: s["i"])
-        ).alias("cluster"),
+    q = probe_clusters(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        centroids,
+        nprobe,
+        vec_col="qv",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _assign_expr(F.col(vec_col), centroids).alias("cluster"),
+    c = assign_clusters(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        centroids,
+        vec_col="cv",
     )
     scored = c.join(F.broadcast(q), "cluster").select(
         "query_id",

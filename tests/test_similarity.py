@@ -114,3 +114,74 @@ def test_ivf_topk_partial_probe_recall(spark):
         # nearest neighbor of query i is i+4 mod parity cluster: same
         # parity (same planted cluster) is sufficient to assert
         assert r["neighbor_id"] % 2 == r["query_id"] % 2
+
+
+def test_assign_clusters_arrow_matches_expr(spark):
+    # the broadcast-matrix Arrow assign must agree with the JVM literal
+    # expression path (and with probe_clusters' first probe)
+    import random
+
+    from davar_lab_ocr_spark.operators.similarity import (
+        assign_clusters,
+        probe_clusters,
+    )
+
+    rng = random.Random(11)
+    dim, k = 16, 6
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k)]
+    rows = [
+        (i, [c + rng.uniform(-0.05, 0.05) for c in cents[i % k]])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    by_expr = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, cents, method="expr").collect()
+    }
+    by_arrow = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, cents, method="arrow").collect()
+    }
+    assert by_expr == by_arrow
+    probe_expr = {
+        (r["vec_id"], r["cluster"])
+        for r in probe_clusters(df, cents, nprobe=2, vec_col="embedding", method="expr").collect()
+    }
+    probe_arrow = {
+        (r["vec_id"], r["cluster"])
+        for r in probe_clusters(df, cents, nprobe=2, vec_col="embedding", method="arrow").collect()
+    }
+    assert probe_expr == probe_arrow
+    # nearest probe == assigned cluster
+    assert {(v, c) for v, c in by_arrow.items()} <= probe_arrow
+
+
+def test_ivf_large_k_uses_arrow_and_matches(spark):
+    # k*dim over the dispatch threshold: end-to-end ivf_topk on the
+    # arrow path must equal brute force under exhaustive probing
+    import random
+
+    from davar_lab_ocr_spark.operators.similarity import (
+        _ASSIGN_EXPR_MAX_TERMS,
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(5)
+    dim, k = 32, 16 + 1  # 17*32 = 544 > 512
+    assert (k * dim) > _ASSIGN_EXPR_MAX_TERMS
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter("vec_id < 5")
+    corpus = df.filter("vec_id >= 5")
+    cents = kmeans_centroids(corpus, k=k, iters=2)
+    got = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in ivf_topk(queries, corpus, cents, k=3, nprobe=k).collect()
+    }
+    want = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in brute_force_topk(queries, corpus, k=3).collect()
+    }
+    assert got == want
