@@ -152,18 +152,56 @@ def convex_poly_intersection_area(poly_a, poly_b) -> float:
     return poly_area(convex_poly_clip(poly_a, poly_b))
 
 
+# inclusion-exclusion recursion above this many mutually-overlapping
+# polygons switches to the rasterized estimate: the recursion is
+# worst-case exponential, and one adversarial doc (many gt boxes all
+# overlapping one detection) must not hang an executor task
+_UNION_EXACT_MAX = 12
+
+
+def _rasterized_union_area(ps: list[np.ndarray], res: int = 256) -> float:
+    """Deterministic grid estimate of a polygon-union area: rasterize
+    point-in-polygon over a res x res grid spanning the joint bbox.
+    Used only as the bounded fallback past _UNION_EXACT_MAX."""
+    allpts = np.vstack(ps)
+    x0, y0 = allpts.min(axis=0)
+    x1, y1 = allpts.max(axis=0)
+    if x1 <= x0 or y1 <= y0:
+        return 0.0
+    xs = np.linspace(x0, x1, res, endpoint=False) + (x1 - x0) / (2 * res)
+    ys = np.linspace(y0, y1, res, endpoint=False) + (y1 - y0) / (2 * res)
+    gx, gy = np.meshgrid(xs, ys)
+    covered = np.zeros(gx.shape, dtype=bool)
+    for p in ps:
+        inside = np.ones(gx.shape, dtype=bool)
+        n = len(p)
+        # convex test: same side of every edge (orientation-normalized)
+        q = p if _signed_area(p) < 0 else p[::-1]
+        for i in range(n):
+            ex, ey = q[(i + 1) % n] - q[i]
+            inside &= ex * (gy - q[i][1]) - ey * (gx - q[i][0]) <= 0
+        covered |= inside
+    cell = (x1 - x0) * (y1 - y0) / (res * res)
+    return float(covered.sum()) * cell
+
+
 def convex_union_area(polys: list[np.ndarray]) -> float:
     """Area of the union of CONVEX polygons by inclusion-exclusion,
     expressed as the recursion |p0 U rest| = |p0| + |U rest| -
     |U (p0 n r for r in rest)| — every term stays convex (pairwise
     Sutherland-Hodgman clips), so no general polygon-boolean library is
-    needed. Worst case exponential in len(polys), but empty clips prune
-    the recursion and the real inputs (ground-truth boxes overlapping
-    one detection, TIoU's Ot term) are a handful of polygons."""
+    needed. Worst case exponential in len(polys); empty clips prune the
+    recursion and the real inputs (ground-truth boxes overlapping one
+    detection, TIoU's Ot term) are a handful of polygons, but past
+    _UNION_EXACT_MAX mutually-overlapping terms the computation falls
+    back to a deterministic rasterized estimate so one adversarial doc
+    cannot stall the metric stage."""
     ps = [np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in polys]
     ps = [p for p in ps if len(p) >= 3 and poly_area(p) > 0]
     if not ps:
         return 0.0
+    if len(ps) > _UNION_EXACT_MAX:
+        return _rasterized_union_area(ps)
     head, rest = ps[0], ps[1:]
     overlaps = []
     for r in rest:
@@ -179,10 +217,188 @@ def _signed_area(p: np.ndarray) -> float:
 
 
 def poly_iou(poly_a, poly_b) -> float:
-    """IoU of two convex polygons (flat [x1,y1,...] or [n,2])."""
+    """IoU of two convex polygons (flat [x1,y1,...] or [n,2]). For
+    possibly-concave inputs use simple_poly_iou."""
     a = np.asarray(poly_a, dtype=np.float64).reshape(-1, 2)
     b = np.asarray(poly_b, dtype=np.float64).reshape(-1, 2)
     inter = convex_poly_intersection_area(a, b)
+    union = poly_area(a) + poly_area(b) - inter
+    return inter / union if union > 0 else 0.0
+
+
+# --------------------------------------------------------------------------
+# general (possibly-concave) simple polygons: ear-clipping triangulation
+# + pairwise convex clips. Curved-text datasets (Total-Text, CTW1500)
+# annotate concave outlines — the reference evaluates them with a
+# general polygon-boolean library (script.py get_intersection); here the
+# intersection AREA decomposes exactly over the triangulations:
+# |A n B| = sum_ij |tri_i(A) n tri_j(B)| (triangle interiors are
+# pairwise disjoint within each polygon).
+# --------------------------------------------------------------------------
+def is_convex_poly(poly) -> bool:
+    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    if len(p) < 4:
+        return True
+    d = np.diff(np.vstack([p, p[:2]]), axis=0)
+    cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
+    return bool(np.all(cross >= 0) or np.all(cross <= 0))
+
+
+def _point_blocks_ear(pt, a, b, c) -> bool:
+    """True if pt (not a corner) lies inside-or-on triangle abc (CCW)."""
+    if any(pt[0] == v[0] and pt[1] == v[1] for v in (a, b, c)):
+        return False
+    c1 = (b[0] - a[0]) * (pt[1] - a[1]) - (b[1] - a[1]) * (pt[0] - a[0])
+    c2 = (c[0] - b[0]) * (pt[1] - b[1]) - (c[1] - b[1]) * (pt[0] - b[0])
+    c3 = (a[0] - c[0]) * (pt[1] - c[1]) - (a[1] - c[1]) * (pt[0] - c[0])
+    return c1 >= 0 and c2 >= 0 and c3 >= 0
+
+
+def triangulate(poly) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple polygon -> list of [3, 2]
+    CCW triangles with positive area. Degenerate (collinear) vertices
+    are dropped; if no ear is found (self-intersecting input) the
+    remainder falls back to a fan — a documented approximation for
+    malformed inputs rather than a crash."""
+    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    keep = [i for i in range(len(p)) if not np.array_equal(p[i], p[(i + 1) % len(p)])]
+    p = p[keep]
+    if len(p) < 3:
+        return []
+    if _signed_area(p) < 0:
+        p = p[::-1]
+    idx = list(range(len(p)))
+    tris: list[np.ndarray] = []
+    while len(idx) > 3:
+        found = False
+        for k in range(len(idx)):
+            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % len(idx)]
+            a, b, c = p[i0], p[i1], p[i2]
+            cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+            if cross < 0:
+                continue  # reflex corner
+            if cross == 0:
+                idx.pop(k)  # collinear: zero-area ear, drop the vertex
+                found = True
+                break
+            if any(
+                _point_blocks_ear(p[j], a, b, c)
+                for j in idx
+                if j not in (i0, i1, i2)
+            ):
+                continue
+            tris.append(np.array([a, b, c]))
+            idx.pop(k)
+            found = True
+            break
+        if not found:  # self-intersecting / degenerate: fan remainder
+            for k in range(1, len(idx) - 1):
+                t = np.array([p[idx[0]], p[idx[k]], p[idx[k + 1]]])
+                if poly_area(t) > 0:
+                    tris.append(t)
+            return tris
+    if len(idx) == 3:
+        t = p[idx]
+        if poly_area(t) > 0:
+            tris.append(t)
+    return tris
+
+
+def even_odd_pieces(poly) -> list[np.ndarray]:
+    """Convex trapezoid pieces tiling the EVEN-ODD filled region of a
+    closed contour (possibly self-intersecting), pairwise-disjoint
+    interiors. Scanline decomposition: critical y's are all vertex y's
+    plus all proper pairwise edge-crossing y's; inside each horizontal
+    strip the crossing edges are linear and non-crossing, so pairing
+    them left-to-right (parity fill) yields trapezoids.
+
+    This is the fill rule a Vatti-sweep polygon-boolean library (the
+    reference evaluation's Polygon/GPC, script.py get_intersection)
+    applies to self-intersecting inputs — pinned empirically by the
+    Total-Text golden run: shoelace areas + even-odd intersections
+    reproduce the published R/P/H to 1e-4 (readme.md); triangulation
+    semantics do not (a bowtie's winding-2 lobe counts twice in a fan,
+    zero times under parity)."""
+    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    n = len(p)
+    edges = []
+    for i in range(n):
+        a, b = p[i], p[(i + 1) % n]
+        if a[1] != b[1]:
+            edges.append((a, b))
+    if not edges:
+        return []
+    ys = set()
+    for a, b in edges:
+        ys.add(float(a[1]))
+        ys.add(float(b[1]))
+    for i in range(len(edges)):
+        a, b = edges[i]
+        r = b - a
+        for j in range(i + 1, len(edges)):
+            c, d = edges[j]
+            s = d - c
+            denom = r[0] * s[1] - r[1] * s[0]
+            if denom == 0:
+                continue
+            t = ((c - a)[0] * s[1] - (c - a)[1] * s[0]) / denom
+            u = ((c - a)[0] * r[1] - (c - a)[1] * r[0]) / denom
+            if 0 < t < 1 and 0 < u < 1:
+                ys.add(float(a[1] + t * r[1]))
+    ys = sorted(ys)
+    pieces = []
+    for y0, y1 in zip(ys, ys[1:]):
+        if y1 <= y0:
+            continue
+        ym = 0.5 * (y0 + y1)
+        xs = []
+        for a, b in edges:
+            if (a[1] - ym) * (b[1] - ym) < 0:
+                dy = b[1] - a[1]
+                dx = b[0] - a[0]
+                xs.append((
+                    a[0] + (ym - a[1]) / dy * dx,
+                    a[0] + (y0 - a[1]) / dy * dx,
+                    a[0] + (y1 - a[1]) / dy * dx,
+                ))
+        xs.sort()
+        for k in range(0, len(xs) - 1, 2):
+            xl, xr = xs[k], xs[k + 1]
+            quad = np.array([[xl[1], y0], [xr[1], y0], [xr[2], y1], [xl[2], y1]])
+            if poly_area(quad) > 0:
+                pieces.append(quad)
+    return pieces
+
+
+def poly_intersection_pieces(poly_a, poly_b, tris_a=None, tris_b=None) -> list[np.ndarray]:
+    """Convex pieces tiling A n B with pairwise-disjoint interiors.
+    Convex x convex short-circuits to one Sutherland-Hodgman clip;
+    otherwise decompose under the even-odd rule (or reuse the caller's
+    cached decompositions) and clip pairwise."""
+    a = np.asarray(poly_a, dtype=np.float64).reshape(-1, 2)
+    b = np.asarray(poly_b, dtype=np.float64).reshape(-1, 2)
+    if is_convex_poly(a) and is_convex_poly(b):
+        c = convex_poly_clip(a, b)
+        return [c] if len(c) >= 3 and poly_area(c) > 0 else []
+    pieces = []
+    for ta in (tris_a if tris_a is not None else even_odd_pieces(a)):
+        for tb in (tris_b if tris_b is not None else even_odd_pieces(b)):
+            c = convex_poly_clip(ta, tb)
+            if len(c) >= 3 and poly_area(c) > 0:
+                pieces.append(c)
+    return pieces
+
+
+def simple_poly_intersection_area(poly_a, poly_b, tris_a=None, tris_b=None) -> float:
+    """Intersection area of two simple (possibly concave) polygons."""
+    return float(sum(poly_area(c) for c in poly_intersection_pieces(poly_a, poly_b, tris_a, tris_b)))
+
+
+def simple_poly_iou(poly_a, poly_b, tris_a=None, tris_b=None) -> float:
+    """IoU of two simple (possibly concave) polygons."""
+    a = np.asarray(poly_a, dtype=np.float64).reshape(-1, 2)
+    b = np.asarray(poly_b, dtype=np.float64).reshape(-1, 2)
+    inter = simple_poly_intersection_area(a, b, tris_a, tris_b)
     union = poly_area(a) + poly_area(b) - inter
     return inter / union if union > 0 else 0.0
 

@@ -1,0 +1,578 @@
+"""Pure-numpy baseline JPEG codec — no PIL/cv2 in this environment.
+
+Decode: baseline sequential DCT per the public JPEG specification
+(ITU-T T.81): marker parse (SOI/APPn/COM/DQT/SOF0/SOF1/DHT/DRI/SOS),
+Huffman entropy decode with byte stuffing and restart markers, DC
+differential + AC run-length/EOB/ZRL coefficient decode, dequantize +
+de-zigzag, 8x8 inverse DCT (orthonormal matrix product), chroma
+upsampling for 4:2:0 / 4:2:2, and JFIF YCbCr->RGB. Components with
+sampling factors up to the spec's 4x4 are handled generically.
+Progressive (SOF2), arithmetic coding, hierarchical, 12-bit precision,
+and non-interleaved multi-component scans stay honestly gated
+(NotImplementedError).
+
+Encode (fixture generator): baseline JFIF with the T.81 Annex K
+quantization + Huffman tables, IJG quality scaling, optional 4:2:0
+chroma subsampling. The decoder reads DQT/DHT from the stream, so
+roundtrips exercise the real entropy layer end-to-end.
+
+Mirrors the reference's image source expectations
+(davar_loading.py:26-88 reads JPEG corpora via mmcv/cv2); the codec
+itself is re-derived from the public spec, same as functions/png.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SOI = b"\xff\xd8"
+
+
+def _zigzag() -> np.ndarray:
+    order = []
+    for s in range(15):
+        pts = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            pts = pts[::-1]
+        order.extend(pts)
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+ZIGZAG = _zigzag()          # flat index (row-major) of each zigzag slot
+UNZIG = np.argsort(ZIGZAG)  # zigzag slot of each flat index
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    T = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) * 0.5
+    T[0, :] = 1.0 / np.sqrt(8.0)
+    return T
+
+
+_T = _dct_matrix()
+
+# T.81 Annex K.1/K.2 quantization tables (luminance, chrominance)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64,
+)
+
+# T.81 Annex K.3 Huffman tables: (bits[1..16], huffval)
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> scaled table clipped to [1, 255]."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# bit IO
+# ---------------------------------------------------------------------------
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+class _MarkerReached(Exception):
+    pass
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with FF00 de-stuffing; hitting
+    a real marker raises _MarkerReached (caller handles RST/EOI)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 < len(self.data) and self.data[self.pos + 1] == 0x00:
+                    self.pos += 2
+                else:
+                    raise _MarkerReached()
+            else:
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.n = 0
+
+
+def _build_codes(bits, vals):
+    """Canonical Huffman (T.81 Annex C): symbol -> (code, length)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits, vals):
+    """(length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: t-bit raw value -> signed coefficient."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (mh - h % mh) % mh
+    pw = (mw - w % mw) % mw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_block(block: np.ndarray, quant: np.ndarray, dc_codes, ac_codes,
+                  pred: int, bw: _BitWriter) -> int:
+    coef = _T @ (block - 128.0) @ _T.T
+    q = np.round(coef.reshape(64) / quant.reshape(64)).astype(np.int64)
+    zz = q[ZIGZAG]
+    # DC
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    # AC
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        if i > last_nz:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+            break
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        t = _category(v)
+        code, length = ac_codes[(run << 4) | t]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    return int(zz[0])
+
+
+def jpeg_encode(
+    arr: np.ndarray, quality: int = 90, subsample: int = 1, restart_interval: int = 0
+) -> bytes:
+    """uint8 (h, w), (h, w, 1) or (h, w, 3 RGB) -> baseline JFIF bytes.
+    ``subsample=2`` emits 4:2:0 (Y 2x2, chroma 1x1); 1 emits 4:4:4.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (resetting DC predictors) — the resync mechanism real
+    encoders use for error resilience."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if nch not in (1, 3):
+        raise NotImplementedError(f"JPEG supports 1 or 3 components, got {nch}")
+    if subsample not in (1, 2):
+        raise NotImplementedError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    if nch == 1:
+        subsample = 1
+
+    qluma = _scaled_quant(QUANT_LUMA, quality)
+    qchroma = _scaled_quant(QUANT_CHROMA, quality)
+
+    out = bytearray()
+    out += SOI
+    jfif = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+    # DQT (both tables in one segment; zigzag order per spec)
+    dqt = b"\x00" + bytes(int(v) for v in qluma[ZIGZAG])
+    if nch == 3:
+        dqt += b"\x01" + bytes(int(v) for v in qchroma[ZIGZAG])
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    # SOF0
+    comps = [(1, subsample, subsample, 0)]
+    if nch == 3:
+        comps += [(2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    tables = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
+    if nch == 3:
+        tables += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
+    dht = b""
+    for tc_th, (bits, vals) in tables:
+        dht += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([len(comps)])
+    for cid, _, _, tq in comps:
+        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # component planes
+    if nch == 3:
+        ycc = _rgb_to_ycbcr(arr)
+        y = _pad_edge(ycc[..., 0], 8 * subsample, 8 * subsample)
+        cb_full = _pad_edge(ycc[..., 1], 8 * subsample, 8 * subsample)
+        cr_full = _pad_edge(ycc[..., 2], 8 * subsample, 8 * subsample)
+        if subsample == 2:
+            cb = cb_full.reshape(cb_full.shape[0] // 2, 2, cb_full.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = cr_full.reshape(cr_full.shape[0] // 2, 2, cr_full.shape[1] // 2, 2).mean(axis=(1, 3))
+        else:
+            cb, cr = cb_full, cr_full
+        planes = [y, cb, cr]
+        quants = [qluma, qchroma, qchroma]
+        dc_codes = [_build_codes(*DC_LUMA), _build_codes(*DC_CHROMA), _build_codes(*DC_CHROMA)]
+        ac_codes = [_build_codes(*AC_LUMA), _build_codes(*AC_CHROMA), _build_codes(*AC_CHROMA)]
+        samp = [(subsample, subsample), (1, 1), (1, 1)]
+    else:
+        planes = [_pad_edge(arr[..., 0].astype(np.float64), 8, 8)]
+        quants = [qluma]
+        dc_codes = [_build_codes(*DC_LUMA)]
+        ac_codes = [_build_codes(*AC_LUMA)]
+        samp = [(1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8])
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, plane in enumerate(planes):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = plane[y0:y0 + 8, x0:x0 + 8]
+                        preds[ci] = _encode_block(
+                            block, quants[ci], dc_codes[ci], ac_codes[ci], preds[ci], bw
+                        )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+def jpeg_meta(data: bytes) -> tuple[int, int, int]:
+    """(h, w, n_components) from the frame header only — no entropy
+    decode; the metadata fast path for decode_media_stage."""
+    if not data.startswith(SOI):
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if marker not in (0xC0, 0xC1):
+                raise NotImplementedError(
+                    f"only baseline sequential JPEG supported (SOF{marker - 0xC0})"
+                )
+            _, h, w, ncomp = struct.unpack(">BHHB", data[pos + 4:pos + 10])
+            return h, w, ncomp
+        pos += 2 + seglen
+    raise ValueError("no frame header found")
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 (h, w, c) array (c=1 gray, c=3 RGB)."""
+    if not data.startswith(SOI):
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: no SOS")
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tab = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                q = np.zeros(64, dtype=np.int64)
+                q[ZIGZAG] = tab  # stored zigzag -> natural order
+                quant[tq] = q
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17:i + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (both Huffman sequential)
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack(">BBB", seg[6 + 3 * c:9 + 3 * c])
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif 0xC0 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG supported (SOF{marker - 0xC0})"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            if ns != len(frame[2]):
+                raise NotImplementedError("non-interleaved multi-scan JPEG")
+            break
+
+    h, w, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    order = []  # (plane_idx, hs, vs, quant, dc_table, ac_table)
+    planes = []
+    for cs, td, ta in scan:
+        hs, vs, tq = by_id[cs]
+        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64))
+        order.append((len(planes) - 1, hs, vs, quant[tq], huff_dc[td], huff_ac[ta]))
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(order)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.byte_align()
+                if not (data[reader.pos] == 0xFF and 0xD0 <= data[reader.pos + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                reader.pos += 2
+                preds = [0] * len(order)
+            for oi, (pi, hs, vs, q, dct, act) in enumerate(order):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = _read_symbol(reader, dct)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        preds[oi] += diff
+                        zz[0] = preds[oi]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(reader, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        coef = (zz * q)[UNZIG].reshape(8, 8)
+                        block = _T.T @ coef @ _T + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[pi][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
+
+    # upsample to full grid, crop, color convert
+    full = []
+    for (pi, hs, vs, _, _, _) in order:
+        p = planes[pi]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if len(full) == 3:
+        rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"{len(full)}-component JPEG")

@@ -30,9 +30,59 @@ from ..functions.geometry import (
     convex_poly_clip,
     convex_poly_intersection_area,
     convex_union_area,
+    even_odd_pieces,
+    is_convex_poly,
     poly_area,
     poly_iou,
 )
+
+
+# --- prepared polygons: concave-capable pairwise geometry ----------------
+# Curved-text annotations (Total-Text / CTW1500) are CONCAVE outlines
+# (occasionally even self-intersecting in model predictions); the
+# reference evaluates them with a general polygon-boolean library
+# (script.py get_intersection via Polygon/GPC). Here each polygon is
+# "prepared" once per doc into convex pieces (itself when convex, its
+# even-odd scanline decomposition otherwise); every pairwise
+# intersection is then a sum of convex Sutherland-Hodgman clips —
+# pieces of one polygon have pairwise-disjoint interiors, so areas add
+# exactly. Semantics pinned by the Total-Text golden run
+# (tests/test_ref_golden_eval.py): area = |signed shoelace| of the raw
+# contour, intersections = even-odd fill — this exact combination
+# reproduces the reference readme's published R/P/H to 1e-4.
+def _prep_poly(pts: np.ndarray):
+    """-> (pts, convex_pieces, area, bbox)."""
+    pieces = [pts] if is_convex_poly(pts) else even_odd_pieces(pts)
+    if len(pts):
+        bbox = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+    else:
+        bbox = (0.0, 0.0, 0.0, 0.0)
+    return pts, pieces, poly_area(pts), bbox
+
+
+def _prep_inter_pieces(pa, pb) -> list[np.ndarray]:
+    # bbox reject first: in an n_gt x n_det matcher matrix most pairs
+    # are disjoint, and the piece-pair clip loop is the hot path
+    ba, bb = pa[3], pb[3]
+    if ba[0] >= bb[2] or bb[0] >= ba[2] or ba[1] >= bb[3] or bb[1] >= ba[3]:
+        return []
+    out = []
+    for ta in pa[1]:
+        for tb in pb[1]:
+            c = convex_poly_clip(ta, tb)
+            if len(c) >= 3 and poly_area(c) > 0:
+                out.append(c)
+    return out
+
+
+def _prep_inter_area(pa, pb) -> float:
+    return float(sum(poly_area(c) for c in _prep_inter_pieces(pa, pb)))
+
+
+def _prep_iou(pa, pb) -> float:
+    inter = _prep_inter_area(pa, pb)
+    union = pa[2] + pb[2] - inter
+    return inter / union if union > 0 else 0.0
 
 _MATCH_SCHEMA = T.StructType(
     [
@@ -59,10 +109,10 @@ def _tiou_recall_term(inter: float, union: float, area_g: float) -> float:
 
 
 def _tiou_precision_term(
-    det_poly: np.ndarray,
-    gt_poly: np.ndarray,
+    det_prep,
+    gt_prep,
     gt_idx: int,
-    gt_polys: list[np.ndarray],
+    gt_preps: list,
     inter: float,
     union: float,
 ) -> float:
@@ -71,26 +121,31 @@ def _tiou_precision_term(
     1 - Ot/area(det), where Ot is the detection area overlapping OTHER
     ground-truth boxes (outlier area) net of the part already inside the
     matched gt. The reference's Polygon-library unions become
-    inclusion-exclusion over convex clips (convex_union_area).
+    inclusion-exclusion over convex clips (convex_union_area); concave
+    polygons contribute their intersection PIECES (triangulation clips,
+    disjoint interiors within one polygon), which the union recursion
+    handles like any other convex operands.
 
     Quirk preserved: the reference's "other gt" loop does NOT skip
     don't-care polygons (only `i != gtNum`, hmean.py:140) — dontcare
     boxes still contribute outlier area."""
-    area_d = poly_area(det_poly)
+    area_d = det_prep[2]
     if area_d <= 0 or union <= 0:
         return 0.0
     in_det = []  # det n other_gt
     in_det_and_gt = []  # det n matched_gt n other_gt
-    for i, other in enumerate(gt_polys):
+    for i, other in enumerate(gt_preps):
         if i == gt_idx:
             continue
-        clip = convex_poly_clip(det_poly, other)
-        if poly_area(clip) <= 0:
+        clips = _prep_inter_pieces(det_prep, other)
+        if not clips:
             continue
-        in_det.append(clip)
-        both = convex_poly_clip(clip, gt_poly)
-        if poly_area(both) > 0:
-            in_det_and_gt.append(both)
+        in_det.extend(clips)
+        for clip in clips:
+            for gp in gt_prep[1]:
+                both = convex_poly_clip(clip, gp)
+                if poly_area(both) > 0:
+                    in_det_and_gt.append(both)
     ot = convex_union_area(in_det) - convex_union_area(in_det_and_gt)
     if ot <= 1.0e-10:
         ot = 0.0
@@ -101,59 +156,64 @@ def _tiou_precision_term(
 def _greedy_match(pred, gt, iou_thr=0.5, area_prec_thr=0.5):
     """The hmean.py greedy 1-1 matcher (coordinates int-truncated as the
     reference does): returns (pairs [(gt_i, det_j)], dontcare_gt list,
-    dontcare_det list, gt_polys, det_polys). Shared by the count
+    dontcare_det list, gt_preps, det_preps — prepared polygons
+    (pts, convex_pieces, area), concave-capable). Shared by the count
     aggregation, the TIoU accumulation, and the per-detection AP rows."""
-    gt_polys = [np.asarray(g["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for g in gt]
-    det_polys = [
-        np.asarray(d["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for d in pred
+    gt_preps = [
+        _prep_poly(np.asarray(g["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2).astype(np.float64))
+        for g in gt
+    ]
+    det_preps = [
+        _prep_poly(np.asarray(d["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2).astype(np.float64))
+        for d in pred
     ]
     dontcare_gt = [i for i, g in enumerate(gt) if (g["care"] == 0) or (g["text"] == "###")]
 
     dontcare_det = []
-    for j, dp in enumerate(det_polys):
-        d_area = poly_area(dp)
+    for j, dp in enumerate(det_preps):
+        d_area = dp[2]
         for i in dontcare_gt:
-            inter = convex_poly_intersection_area(dp, gt_polys[i])
+            inter = _prep_inter_area(dp, gt_preps[i])
             prec = 0.0 if d_area == 0 else inter / d_area
             if prec > area_prec_thr:
                 dontcare_det.append(j)
                 break
 
-    gt_used = np.zeros(len(gt_polys), dtype=bool)
-    det_used = np.zeros(len(det_polys), dtype=bool)
+    gt_used = np.zeros(len(gt_preps), dtype=bool)
+    det_used = np.zeros(len(det_preps), dtype=bool)
     pairs = []
-    for i in range(len(gt_polys)):
-        for j in range(len(det_polys)):
+    for i in range(len(gt_preps)):
+        for j in range(len(det_preps)):
             if (
                 not gt_used[i]
                 and not det_used[j]
                 and i not in dontcare_gt
                 and j not in dontcare_det
-                and poly_iou(gt_polys[i], det_polys[j]) > iou_thr
+                and _prep_iou(gt_preps[i], det_preps[j]) > iou_thr
             ):
                 gt_used[i] = True
                 det_used[j] = True
                 pairs.append((i, j))
-    return pairs, dontcare_gt, dontcare_det, gt_polys, det_polys
+    return pairs, dontcare_gt, dontcare_det, gt_preps, det_preps
 
 
 def _match_one_doc(doc_id: str, pred, gt, iou_thr=0.5, area_prec_thr=0.5):
     """Per-doc match counts + TIoU term sums (hmean.py:283-285
     detMatched_tiouGt/Dt accumulation)."""
-    pairs, dontcare_gt, dontcare_det, gt_polys, det_polys = _greedy_match(
+    pairs, dontcare_gt, dontcare_det, gt_preps, det_preps = _greedy_match(
         pred, gt, iou_thr, area_prec_thr
     )
     tiou_gt = tiou_dt = 0.0
     for i, j in pairs:
-        inter = convex_poly_intersection_area(det_polys[j], gt_polys[i])
-        union = poly_area(det_polys[j]) + poly_area(gt_polys[i]) - inter
-        tiou_gt += _tiou_recall_term(inter, union, poly_area(gt_polys[i]))
-        tiou_dt += _tiou_precision_term(det_polys[j], gt_polys[i], i, gt_polys, inter, union)
+        inter = _prep_inter_area(det_preps[j], gt_preps[i])
+        union = det_preps[j][2] + gt_preps[i][2] - inter
+        tiou_gt += _tiou_recall_term(inter, union, gt_preps[i][2])
+        tiou_dt += _tiou_precision_term(det_preps[j], gt_preps[i], i, gt_preps, inter, union)
     return {
         "doc_id": doc_id,
         "matched": len(pairs),
-        "care_det": len(det_polys) - len(dontcare_det),
-        "care_gt": len(gt_polys) - len(dontcare_gt),
+        "care_det": len(det_preps) - len(dontcare_det),
+        "care_gt": len(gt_preps) - len(dontcare_gt),
         "matched_tiou_gt": tiou_gt,
         "matched_tiou_dt": tiou_dt,
     }
@@ -390,17 +450,17 @@ def det_detections_stage(
         for pdf in batches:
             out = []
             for doc_id, pred, gt in zip(pdf["doc_id"], pdf["pred"], pdf["gt"]):
-                mpairs, dontcare_gt, dontcare_det, gt_polys, det_polys = _greedy_match(
+                mpairs, dontcare_gt, dontcare_det, gt_preps, det_preps = _greedy_match(
                     pred, gt, iou_thr, area_prec_thr
                 )
                 matched_dets = {j for _, j in mpairs}
                 tiou_gt = tiou_dt = 0.0
                 for i, j in mpairs:
-                    inter = convex_poly_intersection_area(det_polys[j], gt_polys[i])
-                    union = poly_area(det_polys[j]) + poly_area(gt_polys[i]) - inter
-                    tiou_gt += _tiou_recall_term(inter, union, poly_area(gt_polys[i]))
+                    inter = _prep_inter_area(det_preps[j], gt_preps[i])
+                    union = det_preps[j][2] + gt_preps[i][2] - inter
+                    tiou_gt += _tiou_recall_term(inter, union, gt_preps[i][2])
                     tiou_dt += _tiou_precision_term(
-                        det_polys[j], gt_polys[i], i, gt_polys, inter, union
+                        det_preps[j], gt_preps[i], i, gt_preps, inter, union
                     )
                 out.append(
                     {
@@ -408,7 +468,7 @@ def det_detections_stage(
                         "det_idx": -1,
                         "conf": None,
                         "matched": 0,
-                        "care_gt": len(gt_polys) - len(dontcare_gt),
+                        "care_gt": len(gt_preps) - len(dontcare_gt),
                         "matched_tiou_gt": tiou_gt,
                         "matched_tiou_dt": tiou_dt,
                     }

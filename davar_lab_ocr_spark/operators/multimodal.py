@@ -3,13 +3,15 @@
 Media travel as opaque ``binary`` columns (or ``media_ref`` pointers)
 with typed metadata, mirroring the reference's image source
 (DavarLoadImageFromFile, davar_loading.py:26-88) and crop/transform
-utils (loading_utils.py:105-200). Payloads are REAL PNG bytes decoded
-by the pure-stdlib codec in functions/png.py (zlib inflate + per-row
-unfilter); the object-store fetch itself is a deterministic fake
-(fake_payload encodes pseudo-random pixels as PNG). JPEG entropy
-decode stays honestly gated (NotImplementedError — not worth
-reimplementing from scratch); a legacy raw (h, w, c)-header payload
-form is still accepted for hand-crafted test inputs. The pixel
+utils (loading_utils.py:105-200). Payloads are REAL codec bytes: PNG
+via the pure-stdlib codec in functions/png.py (zlib inflate + per-row
+unfilter) and baseline-sequential JPEG via the pure-numpy codec in
+functions/jpeg.py (Huffman entropy decode + IDCT + chroma upsample);
+the object-store fetch itself is a deterministic fake (fake_payload
+encodes pseudo-random pixels as PNG, or as JPEG for '.jpg' refs).
+Progressive/arithmetic JPEG stays honestly gated
+(NotImplementedError in the codec); a legacy raw (h, w, c)-header
+payload form is still accepted for hand-crafted test inputs. The pixel
 KERNELS (quad crop, perspective rectification, bilinear resize) are
 real pure-numpy implementations (functions/image.py), and the
 Spark-side contract (schema, batch shape, partitioning, UDF signature)
@@ -47,26 +49,34 @@ _JPEG_SOI = b"\xff\xd8\xff"
 
 
 def fake_payload(media_ref: str) -> bytes:
-    """Deterministic stand-in for an object-store fetch: REAL PNG bytes
-    (encoded by the stdlib codec in functions/png.py) whose dimensions
-    and pseudo-random pixels are seeded by the ref — the same (h, w, c)
-    and pixel values as earlier rounds' raw-header payloads, so decode
-    and the downstream pixel kernels are bit-compatible, but the codec
-    boundary is now exercised for real."""
-    from ..functions.png import png_encode
-
+    """Deterministic stand-in for an object-store fetch: REAL codec
+    bytes whose dimensions and pseudo-random pixels are seeded by the
+    ref. Refs ending '.jpg'/'.jpeg' get baseline JPEG (c in {1, 3},
+    4:2:0 for color — the scanned-document corpus shape); everything
+    else gets PNG with the same (h, w, c) and pixel values as earlier
+    rounds' raw-header payloads, keeping the downstream pixel kernels
+    bit-compatible."""
     digest = hashlib.md5(media_ref.encode()).digest()
     h = 32 + digest[0] % 96
     w = 32 + digest[1] % 96
-    c = 1 + digest[2] % 3
     rng = np.random.default_rng(int.from_bytes(digest[:4], "little"))
+    if media_ref.endswith((".jpg", ".jpeg")):
+        from ..functions.jpeg import jpeg_encode
+
+        c = 1 if digest[2] % 2 == 0 else 3
+        pixels = rng.integers(0, 256, size=h * w * c, dtype=np.uint8).reshape(h, w, c)
+        return jpeg_encode(pixels, quality=90, subsample=2 if c == 3 else 1)
+    from ..functions.png import png_encode
+
+    c = 1 + digest[2] % 3
     pixels = rng.integers(0, 256, size=h * w * c, dtype=np.uint8).reshape(h, w, c)
     return png_encode(pixels)
 
 
 def payload_meta(payload: bytes) -> tuple[int, int, int] | None:
     """(h, w, c) without decoding pixels: PNG reads IHDR only; the
-    legacy raw-header form reads bytes 0-2; JPEG is gated."""
+    legacy raw-header form reads bytes 0-2; JPEG parses the SOF
+    frame header (no entropy decode)."""
     if payload is None or len(payload) < 8:
         return None
     from ..functions import png as P
@@ -77,9 +87,16 @@ def payload_meta(payload: bytes) -> tuple[int, int, int] | None:
         except (ValueError, NotImplementedError, struct.error):
             return None
     if payload.startswith(_JPEG_SOI):
-        if STRICT:
-            raise NotImplementedError("JPEG entropy decode not implemented (no codec libs)")
-        return None
+        from ..functions import jpeg as J
+
+        try:
+            return J.jpeg_meta(payload)
+        except NotImplementedError:  # progressive/12-bit: honest gate
+            if STRICT:
+                raise
+            return None
+        except (ValueError, struct.error):
+            return None
     return payload[0], payload[1], payload[2]
 
 
@@ -87,7 +104,8 @@ def payload_to_array(payload: bytes) -> np.ndarray | None:
     """Parse a fetched payload into an (h, w, c) uint8 array. PNG bytes
     go through the real stdlib decoder; the legacy raw-header form
     ((h, w, c) byte header + uncompressed pixels) is kept for
-    hand-crafted test payloads; JPEG is honestly gated."""
+    hand-crafted test payloads; baseline JPEG goes through the
+    pure-numpy decoder (progressive stays gated in the codec)."""
     if payload is None or len(payload) < 8:
         return None
     from ..functions import png as P
@@ -98,9 +116,16 @@ def payload_to_array(payload: bytes) -> np.ndarray | None:
         except (ValueError, NotImplementedError, struct.error, zlib.error):
             return None
     if payload.startswith(_JPEG_SOI):
-        if STRICT:
-            raise NotImplementedError("JPEG entropy decode not implemented (no codec libs)")
-        return None
+        from ..functions import jpeg as J
+
+        try:
+            return J.jpeg_decode(payload)
+        except NotImplementedError:  # progressive/12-bit: honest gate
+            if STRICT:
+                raise
+            return None
+        except (ValueError, struct.error, IndexError):
+            return None
     h, w, c = payload[0], payload[1], payload[2]
     body = np.frombuffer(payload, dtype=np.uint8, offset=8)
     if body.size < h * w * c:
@@ -129,7 +154,8 @@ def decode_media_stage(df: DataFrame, payload_col: str = "payload") -> DataFrame
     """binary payload -> (height, width, n_channels) metadata. PNG
     payloads parse the real IHDR (no pixel inflate — the metadata-only
     fast path); legacy raw-header payloads read their 3-byte header;
-    JPEG is gated (STRICT raises, otherwise null metadata)."""
+    baseline JPEG parses SOF; progressive is gated (STRICT raises,
+    otherwise null metadata)."""
     meta_fields = [
         T.StructField("m_height", T.IntegerType()),
         T.StructField("m_width", T.IntegerType()),

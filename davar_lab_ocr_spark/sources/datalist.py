@@ -297,3 +297,38 @@ def read_eval_archive(spark: SparkSession, zip_path: str, has_conf: bool = True)
 
     rdd = spark.sparkContext.parallelize(entries, max(len(entries) // 4, 1)).flatMap(parse)
     return spark.createDataFrame(rdd, EVAL_ARCHIVE_SCHEMA)
+
+
+def eval_archive_pairs(
+    spark: SparkSession,
+    gt_zip: str,
+    pred_zip: str,
+    has_conf: bool = False,
+    gt_id_strip: str = "^poly_gt_",
+) -> DataFrame:
+    """gt + pred eval archives -> eval_pairs rows (doc_id, pred[], gt[])
+    ready for det_hmean / det_eval_full. Mirrors the reference
+    harness's sample-name normalization (script.py GT_SAMPLE_NAME_2_ID
+    'poly_gt_img([0-9]+).txt' vs DET 'img([0-9]+).txt'): ``gt_id_strip``
+    is regex-removed from gt doc ids before the join. GT rows with
+    transcription '###' stay in the frame as don't-care (care=1 +
+    text='###' — the matcher's dontcare rule). Docs with gt but no
+    predictions keep an empty pred array (left join), matching the
+    reference's missing-submission handling."""
+    import pyspark.sql.functions as F
+
+    gt = read_eval_archive(spark, gt_zip, has_conf=has_conf).withColumn(
+        "doc_id", F.regexp_replace("doc_id", gt_id_strip, "")
+    )
+    pred = read_eval_archive(spark, pred_zip, has_conf=has_conf)
+    gtg = gt.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("poly"), F.lit(1).alias("care"), F.col("text"))
+        ).alias("gt")
+    )
+    pg = pred.groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("poly"), F.col("conf"), F.col("text"))).alias("pred")
+    )
+    return gtg.join(pg, "doc_id", "left").withColumn(
+        "pred", F.coalesce(F.col("pred"), F.array().cast(pg.schema["pred"].dataType))
+    )

@@ -1,0 +1,105 @@
+"""Baseline JPEG codec tests (functions/jpeg.py): roundtrips through
+the real entropy layer, marker/metadata parse, restart markers,
+subsampling, and the honest progressive gate."""
+
+import numpy as np
+import pytest
+
+from davar_lab_ocr_spark.functions.jpeg import (
+    ZIGZAG,
+    jpeg_decode,
+    jpeg_encode,
+    jpeg_meta,
+)
+
+
+def _smooth_rgb(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (100 + yy).clip(0, 255)
+    g = (80 + xx).clip(0, 255)
+    b = (60 + (yy + xx) // 2).clip(0, 255)
+    return np.stack([r, g, b], -1).astype(np.uint8)
+
+
+def test_zigzag_prefix():
+    # first 10 slots of the canonical T.81 zigzag (row-major flat idx)
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+
+def test_solid_gray_exact_roundtrip():
+    img = np.full((16, 24), 200, np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=90))
+    assert out.shape == (16, 24, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_gray_gradient_close_odd_dims():
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=95))
+    assert out.shape == (37, 53, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 10
+
+
+def test_color_444_and_420_close():
+    img = _smooth_rgb(45, 57)
+    out444 = jpeg_decode(jpeg_encode(img, quality=95))
+    assert out444.shape == (45, 57, 3)
+    assert np.abs(out444.astype(int) - img.astype(int)).max() <= 4
+    out420 = jpeg_decode(jpeg_encode(img, quality=95, subsample=2))
+    assert out420.shape == (45, 57, 3)
+    assert np.abs(out420.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_restart_markers_do_not_change_pixels():
+    img = _smooth_rgb(40, 40)
+    plain = jpeg_decode(jpeg_encode(img, quality=92))
+    rst = jpeg_decode(jpeg_encode(img, quality=92, restart_interval=3))
+    assert np.array_equal(plain, rst)
+    rst420 = jpeg_decode(jpeg_encode(img, quality=92, subsample=2, restart_interval=2))
+    plain420 = jpeg_decode(jpeg_encode(img, quality=92, subsample=2))
+    assert np.array_equal(rst420, plain420)
+
+
+def test_meta_parses_sof_only():
+    b = jpeg_encode(_smooth_rgb(33, 41), quality=80, subsample=2)
+    assert jpeg_meta(b) == (33, 41, 3)
+    b1 = jpeg_encode(np.zeros((12, 9), np.uint8))
+    assert jpeg_meta(b1) == (12, 9, 1)
+
+
+def test_progressive_gate():
+    # rewrite the SOF0 marker to SOF2 (progressive): both meta and
+    # decode must gate, not mis-decode
+    b = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jpeg_meta(bytes(b))
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(b))
+
+
+def test_quality_monotone_size():
+    img = _smooth_rgb(64, 64)
+    assert len(jpeg_encode(img, quality=95)) > len(jpeg_encode(img, quality=40))
+
+
+def test_payload_paths_accept_jpeg():
+    from davar_lab_ocr_spark.operators.multimodal import (
+        fake_payload,
+        payload_meta,
+        payload_to_array,
+    )
+
+    ref = "media://doc/7.jpg"
+    payload = fake_payload(ref)
+    assert payload.startswith(b"\xff\xd8")
+    import hashlib
+
+    d = hashlib.md5(ref.encode()).digest()
+    h, w = 32 + d[0] % 96, 32 + d[1] % 96
+    c = 1 if d[2] % 2 == 0 else 3
+    assert payload_meta(payload) == (h, w, c)
+    arr = payload_to_array(payload)
+    assert arr.shape == (h, w, c) and arr.dtype == np.uint8
