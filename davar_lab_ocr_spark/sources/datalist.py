@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 DATALIST_SCHEMA = (
     "doc_id string, width int, height int, "
     "regions array<struct<bbox:array<double>, care:int, "
-    "label:array<string>, text:string>>"
+    "label:array<string>, text:string, cell:array<int>>>"
 )
 
 
@@ -52,12 +52,16 @@ def read_davar_datalist(spark: SparkSession, path: str) -> DataFrame:
             cares = ann.get("cares") or [1] * n
             labels = ann.get("labels") or [None] * n
             texts = ann.get("texts") or [""] * n
+            # table datalists (PubTabNet) carry per-region cell spans
+            # [start_row, start_col, end_row, end_col]
+            cells = ann.get("cells") or [None] * n
             regions = [
                 {
                     "bbox": [float(x) for x in bboxes[i]],
                     "care": int(cares[i]),
-                    "label": labels[i],
+                    "label": [str(x) for x in labels[i]] if labels[i] is not None else None,
                     "text": texts[i],
+                    "cell": cells[i],
                 }
                 for i in range(n)
             ]
