@@ -1355,7 +1355,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, cnt * chars AS top_bg_chars FROM (
                     SELECT *, row_number() OVER (
                         PARTITION BY doc_id
-                        ORDER BY cnt * chars DESC, chars DESC, gram ASC) AS rk
+                        ORDER BY cnt DESC, chars DESC, gram ASC) AS rk
                     FROM bgc
                 ) WHERE rk = 1
             ),

@@ -145,8 +145,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     - ``dup_token_frac``: 1 - distinct/total tokens
     - ``top_bigram_char_frac``: fraction of token characters covered by
-      the most frequent bigram (count * bigram chars / total chars);
-      ties broken by larger char count, then lexicographic bigram
+      the MOST FREQUENT bigram (its count * chars / total chars, the
+      Gopher heuristic); count ties broken by larger char count (the
+      covered-fraction value is then identical for any remaining tie,
+      so no further ordering is needed)
     - ``dup_trigram_char_frac``: fraction of token characters inside
       trigrams occurring >= 2 times (sum of count * chars / total)
 
@@ -157,8 +159,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     two shuffles after the window, no per-signal re-scan (a
     branch-per-signal formulation re-ran the scan 3x: Spark's column
     pruning differentiates the branch subplans, defeating
-    ReusedExchange). The top-bigram tiebreak needs no ordering: ties in
-    cnt*chars yield the same char fraction by definition."""
+    ReusedExchange). Top-bigram selection is a struct-max on
+    (cnt, chars): lexicographic struct ordering picks the highest
+    count, then the largest char coverage — any bigram still tied
+    yields the same cnt*chars value, so the output is deterministic."""
     from pyspark.sql.window import Window
 
     toks = tokenize(df, text_col, id_col)
@@ -206,7 +210,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.sum(F.when(uni, F.col("cnt"))).alias("n_tok"),
         F.sum(F.when(uni, 1)).alias("n_uniq"),
         F.sum(F.when(uni, weight)).alias("total_chars"),
-        F.max(F.when(F.col("kind") == "b", weight)).alias("top_bg_chars"),
+        F.max(
+            F.when(F.col("kind") == "b", F.struct(F.col("cnt"), F.col("chars")))
+        ).alias("top_bg"),
         F.sum(F.when((F.col("kind") == "g") & (F.col("cnt") >= 2), weight)).alias(
             "dup_tg_chars"
         ),
@@ -215,7 +221,8 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         id_col,
         F.round(1 - F.col("n_uniq") / F.col("n_tok"), 6).alias("dup_token_frac"),
         F.round(
-            F.coalesce(F.col("top_bg_chars"), F.lit(0)) / F.greatest("total_chars", F.lit(1)),
+            F.coalesce(F.col("top_bg.cnt") * F.col("top_bg.chars"), F.lit(0))
+            / F.greatest("total_chars", F.lit(1)),
             6,
         ).alias("top_bigram_char_frac"),
         F.round(

@@ -99,18 +99,34 @@ class SnapshotSink:
         data_path = os.path.join(self.path, f"batch={batch_id}")
         lineage_path = os.path.join(self.path, "_lineage", f"batch={batch_id}")
 
+        # content-free span counter (SCALE.md known limit, now counted):
+        # a span with empty text AND no media ref carries no content —
+        # short-payload docs produce these silently in the full chain;
+        # the lineage row makes them visible per partition
+        n_empty = F.sum(
+            F.size(
+                F.filter(
+                    F.col("spans"),
+                    lambda s: (F.coalesce(s["text"], F.lit("")) == "")
+                    & (F.coalesce(s["media_ref"], F.lit("")) == ""),
+                )
+            )
+        ).alias("n_empty_spans")
         staged = docs.withColumn("_part", F.spark_partition_id()).persist()
         try:
             staged.drop("_part").write.mode("overwrite").parquet(data_path)
             lineage = staged.groupBy("_part").agg(
                 F.count("*").alias("n_docs"),
                 F.sum(F.size("spans")).alias("n_spans"),
+                n_empty,
                 F.min("doc_id").alias("min_doc_id"),
                 F.max("doc_id").alias("max_doc_id"),
             )
             lineage.write.mode("overwrite").parquet(lineage_path)
             totals = staged.agg(
-                F.count("*").alias("n_docs"), F.sum(F.size("spans")).alias("n_spans")
+                F.count("*").alias("n_docs"),
+                F.sum(F.size("spans")).alias("n_spans"),
+                n_empty,
             ).collect()[0]
         finally:
             staged.unpersist()
@@ -125,6 +141,7 @@ class SnapshotSink:
             "committed_at": time.time(),
             "n_docs": totals["n_docs"],
             "n_spans": int(totals["n_spans"] or 0),
+            "n_empty_spans": int(totals["n_empty_spans"] or 0),
             "data_path": data_path,
             "lineage_path": lineage_path,
         }

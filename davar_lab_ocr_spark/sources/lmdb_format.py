@@ -168,7 +168,7 @@ def lmdb_write(items: dict[bytes, bytes]) -> bytes:
         next_pg += n
         return pg
 
-    def page_bytes(flags: int, nodes: list[bytes], extra_header: bytes | None = None) -> bytes:
+    def page_bytes(pgno: int, flags: int, nodes: list[bytes]) -> bytes:
         body = bytearray(PAGE)
         ptrs = []
         upper = PAGE
@@ -178,7 +178,10 @@ def lmdb_write(items: dict[bytes, bytes]) -> bytes:
             ptrs.append(upper)
         lower = _HDRSZ + 2 * len(nodes)
         assert lower <= upper, "page overflow"
-        struct.pack_into("<QHHHH", body, 0, 0, 0, flags, lower, upper)
+        # real LMDB stores the page's own number in the header (mdb.c
+        # mp_pgno); the in-repo reader indexes by file offset, but a C
+        # mdb_dump/debug-assert cross-check reads this field
+        struct.pack_into("<QHHHH", body, 0, pgno, 0, flags, lower, upper)
         for i, p in enumerate(ptrs):
             struct.pack_into("<H", body, _HDRSZ + 2 * i, p)
         return bytes(body)
@@ -222,7 +225,7 @@ def lmdb_write(items: dict[bytes, bytes]) -> bytes:
 
     leaf_pgnos = [alloc() for _ in leaf_nodes]
     for pg, nodes in zip(leaf_pgnos, leaf_nodes):
-        pages[pg] = page_bytes(P_LEAF, nodes)
+        pages[pg] = page_bytes(pg, P_LEAF, nodes)
     for pg, data in ovf_chunks:
         pages[pg] = data
 
@@ -236,7 +239,7 @@ def lmdb_write(items: dict[bytes, bytes]) -> bytes:
                 _NODE.pack(pg & 0xFFFF, (pg >> 16) & 0xFFFF, pg >> 32, len(k)) + k
             )
         root = alloc()
-        pages[root] = page_bytes(P_BRANCH, bnodes)
+        pages[root] = page_bytes(root, P_BRANCH, bnodes)
         depth, n_branch = 2, 1
 
     if not entries:

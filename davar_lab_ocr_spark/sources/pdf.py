@@ -167,8 +167,10 @@ def pdf_to_spans_py(pdf: bytes, title_min_size: float = 18.0) -> list[dict]:
         leading = 0.0
         for t in _TEXT_OP_RE.finditer(data):
             if t.group("bt"):
-                x = y = 0.0  # BT resets the text/line matrices to identity
-                leading = 0.0
+                # BT resets the text/line matrices to identity; leading
+                # and font size are TEXT STATE (PDF 32000-1 §9.3) and
+                # persist across BT/ET, so neither resets here
+                x = y = 0.0
             elif t.group("tf"):
                 size = float(t.group("tf"))
             elif t.group("tm"):

@@ -166,3 +166,18 @@ def test_minhash_band_bucket_cap_bounds_identical_cluster(spark):
     small = spark.createDataFrame([(i, text) for i in range(10)], "doc_id int, text string")
     assert minhash_lsh_pairs(small).count() == 45
     assert minhash_lsh_pairs(small, max_band_bucket=None).count() == 45
+
+
+def test_top_bigram_is_most_frequent_not_max_weight(spark):
+    import pytest
+
+    from davar_lab_ocr_spark.operators.textstats import repetition_stats
+
+    # 'a b' occurs 3x (chars 2, weight 6); 'lengthy bigramword' occurs
+    # once (chars 17, weight 17). Gopher picks the most FREQUENT bigram
+    # ('a b', coverage 6), not the max-weight one (17).
+    text = "a b a b a b lengthy bigramword"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    row = repetition_stats(df).collect()[0]
+    total_chars = sum(len(t) for t in text.split())
+    assert row["top_bigram_char_frac"] == pytest.approx(round(6 / total_chars, 6))

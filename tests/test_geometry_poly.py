@@ -79,3 +79,44 @@ def test_convex_union_area_matches_cell_counting():
             rects.append([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]])
             grid[y0 : y0 + h, x0 : x0 + w] = True
         assert convex_union_area(rects) == pytest.approx(float(grid.sum()), abs=1e-9)
+
+
+def test_union_area_cap_fallback_bounded_and_close():
+    # past _UNION_EXACT_MAX mutually-overlapping polys the recursion
+    # switches to the deterministic grid estimate (ADVICE r3: one
+    # adversarial doc must not hang the metric stage)
+    import time
+
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.geometry import (
+        _UNION_EXACT_MAX,
+        convex_union_area,
+    )
+
+    sq = lambda x0, y0: np.array([[x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1], [x0, y0 + 1]])
+    # 20 identical unit squares: union exactly 1, grid-aligned
+    t0 = time.time()
+    got = convex_union_area([sq(0, 0)] * 20)
+    assert abs(got - 1.0) < 1e-9
+    # 14 disjoint squares in a row: union 14, every grid cell decided
+    got2 = convex_union_area([sq(2 * i, 0) for i in range(14)])
+    assert abs(got2 - 14.0) < 14 * 0.06  # grid estimate tolerance
+    assert time.time() - t0 < 5.0
+    # below the cap the recursion stays exact
+    exact = convex_union_area([sq(0, 0), sq(0.5, 0)])
+    assert abs(exact - 1.5) < 1e-9
+    assert _UNION_EXACT_MAX >= 10
+
+
+def test_even_odd_pieces_bowtie_and_concave():
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.geometry import even_odd_pieces, poly_area
+
+    # bowtie: even-odd area = two lobes of 1 each
+    bt = [(0, 0), (2, 2), (2, 0), (0, 2)]
+    assert abs(sum(poly_area(q) for q in even_odd_pieces(bt)) - 2.0) < 1e-9
+    # concave L: parity fill == interior
+    L = [(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)]
+    assert abs(sum(poly_area(q) for q in even_odd_pieces(L)) - 12.0) < 1e-9

@@ -118,3 +118,21 @@ def test_snapshot_read_merges_evolved_schema(spark, tmp_path):
     old = sink.read(spark, as_of="b1")
     assert "lang" not in old.columns
     assert sink.processed_doc_ids(spark).count() == 2
+
+
+def test_empty_span_lineage_counter(spark, tmp_path):
+    # content-free spans (no text, no media ref) are counted into
+    # lineage + manifest — the SCALE.md short-payload silent-empty case
+    out = str(tmp_path / "sink4")
+    rows = [
+        ("d1", [("text", "hello", "", 0), ("figure", "", "media://x.png", 1), ("text", "", "", 2)]),
+        ("d2", [("text", "", "", 0)]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    m = SnapshotSink(out).write_batch(df, batch_id="e")
+    assert m["n_empty_spans"] == 2
+    lineage = spark.read.parquet(m["lineage_path"])
+    assert sum(r["n_empty_spans"] for r in lineage.collect()) == 2
