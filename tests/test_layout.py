@@ -158,3 +158,49 @@ def test_pointer_order_nn_stage(spark):
     emb = np.array([[i % 3, i] for i in range(6)], dtype=float)
     want = pointer_order_nn(emb, weights)
     assert [got[i] for i in range(6)] == want
+
+
+def test_pointer_weights_fixture_beats_heuristic(spark):
+    """Committed seeded weight fixture (pointer_weights.npz): the
+    learned pointer decode reads a two-column layout COLUMN-MAJOR
+    (ground truth), while the deterministic proximity scorer interleaves
+    the columns — the injectable-weights contract end-to-end through
+    the Spark stage (pointer_head.py:76-125 shape)."""
+    import os
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.operators.ordering import (
+        pointer_order_nn_stage,
+        pointer_order_stage,
+    )
+
+    wpath = os.path.join(os.path.dirname(__file__), "fixtures", "pointer_weights.npz")
+    weights = {k: v for k, v in np.load(wpath).items()}
+
+    # two columns (x=0 and x=1), 4 rows each, tall row gaps: reading
+    # order is column-major; emb = (x, y/10) matches the fixture scale
+    rows = []
+    truth = {}
+    rid = 0
+    for col in (0.0, 1.0):
+        for row in range(4):
+            rows.append(("d1", rid, col, float(row * 10)))
+            truth[rid] = len(truth)
+            rid += 1
+    df = spark.createDataFrame(rows, "doc_id string, region_id int, x0 double, y0 double")
+    emb = df.withColumn("f0", F.col("x0")).withColumn("f1", F.col("y0") / 10.0)
+
+    learned = {
+        r["region_id"]: r["order_pred"]
+        for r in pointer_order_nn_stage(emb, weights, ["f0", "f1"]).collect()
+    }
+    assert learned == truth
+
+    heuristic = {
+        r["region_id"]: r["order_pred"] for r in pointer_order_stage(df).collect()
+    }
+    acc = lambda got: sum(got[k] == v for k, v in truth.items()) / len(truth)
+    assert acc(learned) == 1.0
+    assert acc(heuristic) < 1.0  # proximity walk interleaves the columns

@@ -445,3 +445,43 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def make_pointer_weights(path=None):
+    """Seeded weight fixture for pointer_order_nn: a hand-constructed
+    parameter set whose decode policy is COLUMN-MAJOR reading order
+    (score ~ -(10x + y)), plus seeded sub-1e-3 noise. The f-gate bias
+    is large-negative (forget the pooled init state) and i/o large-
+    positive, so the hidden state — and hence the query — is constant
+    across steps and the ranking is the static key score. Demonstrates
+    the injectable-weights contract end-to-end: the LEARNED path beats
+    the deterministic proximity scorer on two-column layouts
+    (tests/test_layout.py::test_pointer_weights_fixture_beats_heuristic).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    noise = lambda *shape: rng.uniform(-1e-3, 1e-3, size=shape)
+    H, I = 2, 2
+    big = 8.0
+    b_ih = np.concatenate([
+        np.full(H, big),    # i -> 1
+        np.full(H, -big),   # f -> 0 (drop pooled-init cell state)
+        np.array([1.0, 0.0]),  # g: tanh -> (0.76, 0)
+        np.full(H, big),    # o -> 1
+    ])
+    weights = {
+        "w_ih": noise(4 * H, I),
+        "w_hh": noise(4 * H, H),
+        "b_ih": b_ih + noise(4 * H),
+        "b_hh": noise(4 * H),
+        "w_key": np.array([[-10.0, -1.0], [0.0, 0.0]]) + noise(H, 2),
+        "b_key": noise(H),
+        "w_query": np.eye(H) + noise(H, H),
+        "b_query": noise(H),
+        "decoder_init": noise(I),
+        "hidden_init": noise(H),
+    }
+    out = path or os.path.join(FIXDIR, "pointer_weights.npz")
+    np.savez(out, **weights)
+    return out
