@@ -145,6 +145,7 @@ def test_tiou_terms_bounded_by_iou(x0, y0, w0, h0, x1, y1, w1, h1):
         poly_area,
     )
     from davar_lab_ocr_spark.operators.metrics import (
+        _prep_poly,
         _tiou_precision_term,
         _tiou_recall_term,
     )
@@ -155,7 +156,8 @@ def test_tiou_terms_bounded_by_iou(x0, y0, w0, h0, x1, y1, w1, h1):
     union = poly_area(d) + poly_area(g) - inter
     iou = inter / union if union > 0 else 0.0
     tr = _tiou_recall_term(inter, union, poly_area(g))
-    tp = _tiou_precision_term(d, g, 0, [g], inter, union)
+    gp, dp = _prep_poly(g), _prep_poly(d)
+    tp = _tiou_precision_term(dp, gp, 0, [gp], inter, union)
     assert -1e-12 <= tr <= iou + 1e-12
     assert -1e-12 <= tp <= iou + 1e-12
     # no other gt -> no outlier penalty: precision term IS the iou
