@@ -164,6 +164,10 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
     round_log: list[dict] = []
     soft = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "300"))
     hard = float(os.environ.get("SPARK_GRAFT_SCALING_HARD_BUDGET_SEC", "600"))
+    # early stop needs a floor of full rounds: the scaling record AND
+    # the headline extract_full min both come from these samples, and a
+    # lucky first-round ratio must not cut min-of-N sampling short
+    min_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_ROUNDS", "4"))
     t0 = time.time()
 
     def run_round(keys) -> dict:
@@ -195,7 +199,7 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
             eff_now = max(eff_g, eff_m)
         if elapsed > hard and rnd > 0:
             break
-        if elapsed > soft and eff_now >= gate and rnd > 0:
+        if elapsed > soft and eff_now >= gate and rnd >= min_rounds:
             break  # record already clears the gate; stop burning clock
         # past the soft budget with a failing record: sample only the
         # primary pair — its rounds are ~2x cheaper than full rounds,
@@ -205,7 +209,7 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
             keys = [k for k in primary[0] if k in procs]
         n_before = best[primary[0][0]] if primary else None
         run_round(keys)
-        if primary:
+        if primary and rnd + 1 >= min_rounds:
             (k_n, k_4n), ratio, target = primary
             eff_g, eff_m = _pair_efficiency(best, round_log, (k_n, k_4n), ratio)
             n_stable = best[k_n] == n_before  # no improvement this round
@@ -230,12 +234,17 @@ def _pair_efficiency(best, round_log, pair, cores_ratio):
       N matched r2's min while every 4N sample was 1.8x contended ->
       0.521 on record for plans whose quiet-window ratio is 0.86+).
     - matched-window: best ratio among rounds where BOTH legs ran
-      back-to-back, so both sampled the same host weather; uniform
-      contention cancels in the ratio.
+      back-to-back, so both sampled (approximately) the same host
+      weather; uniform contention cancels in the ratio. The legs are
+      still sequential within the round, so a weather flip BETWEEN
+      them can produce a nonsense ratio — scaling efficiency > 1.0 on
+      a shared-memory box is physically impossible, so any round whose
+      ratio exceeds 1.0 is evidence of a mismatched window and is
+      DISCARDED (not clamped: a garbage window proves nothing).
 
-    The recorded efficiency is max(global, matched): global-min can
-    only understate (its legs' weather is mismatched at most one way
-    that matters — quiet N / loud 4N), and matched pairs are
+    The recorded efficiency is max(global, valid matched): global-min
+    can only understate (its legs' weather is mismatched at most one
+    way that matters — quiet N / loud 4N), and a valid matched pair is
     self-consistent, so the max is the best-supported estimate."""
     k_n, k_4n = pair
     eff_g = 0.0
@@ -244,7 +253,9 @@ def _pair_efficiency(best, round_log, pair, cores_ratio):
     eff_m = 0.0
     for row in round_log:
         if k_n in row and k_4n in row:
-            eff_m = max(eff_m, row[k_n] / row[k_4n] / cores_ratio)
+            ratio = row[k_n] / row[k_4n] / cores_ratio
+            if ratio <= 1.0:
+                eff_m = max(eff_m, ratio)
     return eff_g, eff_m
 
 

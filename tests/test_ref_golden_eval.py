@@ -54,3 +54,38 @@ def test_total_text_golden_matches_published_numbers(spark):
     assert round(row["recall"], 4) == 0.8234
     assert round(row["precision"], 4) == 0.8632
     assert round(row["hmean"], 4) == 0.8428
+
+
+CTW_GT = "/root/reference/demo/text_detection/evaluation/gt/gt_ctw1500_det.zip"
+CTW_GT_IGNORE = (
+    "/root/reference/demo/text_detection/evaluation/gt/gt_ctw1500_det_with_ignore.zip"
+)
+CTW_PRED = (
+    "/root/reference/demo/text_detection/evaluation/pred/"
+    "pred_tp_det_r50_ctw-c1bf44e7.zip"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(CTW_GT), reason="reference checkout absent")
+def test_ctw1500_golden_matches_published_numbers(spark):
+    """Second published-numbers golden, on the reference's CTW1500 zips
+    (text_perceptron_det/readme.md, ResNet-50 rows): P/R/H must round
+    to 87.7/79.8/83.6 without ignores and 87.5/84.5/85.9 with the
+    '###' not-care annotations — the with-ignore run additionally
+    exercises the don't-care suppression path on 387 real ignore
+    polygons (14-point curved outlines)."""
+    from davar_lab_ocr_spark.operators.metrics import det_hmean
+    from davar_lab_ocr_spark.sources.datalist import eval_archive_pairs
+
+    def pct(x):
+        return round(100 * x, 1)
+
+    row = det_hmean(eval_archive_pairs(spark, CTW_GT, CTW_PRED)).collect()[0]
+    assert (pct(row["precision"]), pct(row["recall"]), pct(row["hmean"])) == (
+        87.7, 79.8, 83.6,
+    )
+
+    row2 = det_hmean(eval_archive_pairs(spark, CTW_GT_IGNORE, CTW_PRED)).collect()[0]
+    assert (pct(row2["precision"]), pct(row2["recall"]), pct(row2["hmean"])) == (
+        87.5, 84.5, 85.9,
+    )
