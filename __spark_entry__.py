@@ -701,6 +701,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ref_det_eval"] = ref_det_eval
 
+    def ctw_det_eval(spark, sf):
+        # second published-numbers golden: CTW1500 with the shipped
+        # not-care annotations (text_perceptron_det/readme.md
+        # ResNet-50-3stages-enlarge "considers NOT CARE" row:
+        # P 85.9 R 83.6 H 84.7 — the shipped pred zip is that model);
+        # curved 14-point outlines + 387 real '###' ignore polygons
+        from davar_lab_ocr_spark.sources.datalist import eval_archive_pairs
+
+        gtz = (
+            "/root/reference/demo/text_detection/evaluation/gt/"
+            "gt_ctw1500_det_with_ignore.zip"
+        )
+        pdz = (
+            "/root/reference/demo/text_detection/evaluation/pred/"
+            "pred_tp_det_r50_ctw-c1bf44e7.zip"
+        )
+        sums = M.det_match_stage(eval_archive_pairs(spark, gtz, pdz)).agg(
+            F.sum("matched").alias("m"),
+            F.sum("care_det").alias("d"),
+            F.sum("care_gt").alias("g"),
+        )
+        p = F.col("m") / F.col("d")
+        r = F.col("m") / F.col("g")
+        return sums.select(
+            F.round(100 * p, 1).alias("precision_pct"),
+            F.round(100 * r, 1).alias("recall_pct"),
+            F.round(100 * (2 * p * r / (p + r)), 1).alias("hmean_pct"),
+        )
+
+    q["ctw_det_eval"] = ctw_det_eval
+
     def e2e_hmean_fixture(spark, sf):
         from davar_lab_ocr_spark.schemas import EVAL_PAIRS
 
@@ -1121,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path, det_hmean_fixture for hmean accumulation, session_tracks
     # for the video family, flagship/full-chain for span assembly).
     tail = [
+        "table_html_recovery",
         "mask_rcnn_decode",
         "media_transform",
         "e2e_hmean_fixture",
@@ -1935,6 +1967,9 @@ def oracle_sql() -> dict[str, str]:
         "ref_det_eval": """
             SELECT 2214 AS n_gt, 2366 AS n_det,
                    0.8234 AS recall, 0.8632 AS precision, 0.8428 AS hmean
+        """,
+        "ctw_det_eval": """
+            SELECT 85.9 AS precision_pct, 83.6 AS recall_pct, 84.7 AS hmean_pct
         """,
         "flagship_extract": _spans_fixture_sql("expected_flagship"),
         "resumable_extract": _spans_fixture_sql("expected_resume"),
