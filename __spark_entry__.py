@@ -320,6 +320,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh"] = minhash_lsh
 
+    def dedup_clusters(spark, sf):
+        # LSH candidate pairs -> connected components (min-id label
+        # propagation): the closure step that recovers full duplicate
+        # clusters from the band-bucket star edges; oracle = recursive
+        # CTE transitive closure over the same pair SQL
+        all_docs = _planted_dups(spark, sf, 120)
+        return D.dup_clusters(D.minhash_lsh_pairs(all_docs))
+
+    q["dedup_clusters"] = dedup_clusters
+
     def simhash(spark, sf):
         docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
         return D.simhash(docs)
@@ -1152,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path, det_hmean_fixture for hmean accumulation, session_tracks
     # for the video family, flagship/full-chain for span assembly).
     tail = [
+        "order_accuracy",
         "table_html_recovery",
         "mask_rcnn_decode",
         "media_transform",
@@ -1496,6 +1507,44 @@ def oracle_sql() -> dict[str, str]:
                 WHERE h.doc_id != r.rep
             )
             SELECT id_a, id_b, count(*) AS n_bands FROM edges GROUP BY 1, 2
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS ({sh_120}),
+            sig AS (
+                SELECT doc_id, {minhash_cols}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+{band_union}
+            ),
+            bsz AS (SELECT band, bkey, count(*) AS bn FROM bands GROUP BY 1, 2),
+            cold AS (
+                SELECT b.* FROM bands b JOIN bsz USING (band, bkey) WHERE bsz.bn <= 64
+            ),
+            hot AS (
+                SELECT b.* FROM bands b JOIN bsz USING (band, bkey) WHERE bsz.bn > 64
+            ),
+            reps AS (SELECT band, bkey, min(doc_id) AS rep FROM hot GROUP BY 1, 2),
+            pair0 AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM cold x
+                JOIN cold y ON x.band = y.band AND x.bkey = y.bkey
+                           AND x.doc_id < y.doc_id
+                UNION
+                SELECT DISTINCT r.rep AS a, h.doc_id AS b
+                FROM hot h
+                JOIN reps r ON h.band = r.band AND h.bkey = r.bkey
+                WHERE h.doc_id != r.rep
+            ),
+            e AS (SELECT a, b FROM pair0 UNION SELECT b, a FROM pair0),
+            reach AS (
+                SELECT a AS node, b AS peer FROM e
+                UNION
+                SELECT r.node, e.b FROM reach r JOIN e ON r.peer = e.a
+                WHERE e.b != r.node
+            )
+            SELECT node AS doc_id, least(node, min(peer)) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "simhash": f"""
             WITH toks AS (

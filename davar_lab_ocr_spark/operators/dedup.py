@@ -208,6 +208,60 @@ def minhash_lsh_pairs(
     return edges.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over dup-pair edges -> (doc_id,
+    cluster_id = min doc id in the component). The closure step the
+    capped LSH paths rely on: star pairing emits O(d) edges per dense
+    bucket and this recovers the full duplicate cluster.
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each iteration pulls the min label across neighbors (one
+    equi-join + groupBy min per iteration) until a fixpoint. Rounds
+    needed = graph diameter — for dedup graphs that is tiny (star
+    edges give diameter <= 2 per cluster; chains of near-dups are
+    short), so the loop exits after 2-4 cheap shuffles.
+    localCheckpoint per iteration truncates the growing lineage (the
+    classic iterative-algorithm footgun at scale)."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit b of the hash is the
     sign of sum(+1/-1) of bit b of md5(token) across tokens.

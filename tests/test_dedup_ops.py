@@ -181,3 +181,27 @@ def test_top_bigram_is_most_frequent_not_max_weight(spark):
     row = repetition_stats(df).collect()[0]
     total_chars = sum(len(t) for t in text.split())
     assert row["top_bigram_char_frac"] == pytest.approx(round(6 / total_chars, 6))
+
+
+def test_dup_clusters_recovers_components(spark):
+    from davar_lab_ocr_spark.operators.dedup import dup_clusters
+
+    # two components: a star {0,1,2,3} (edges to rep 0) and a CHAIN
+    # 10-11-12 (diameter 2: propagation needs >1 round)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (10, 11), (11, 12)], "id_a int, id_b int"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_dup_clusters_closes_star_pairing(spark):
+    from davar_lab_ocr_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    # 200 identical docs: capped LSH emits 199 star edges; the closure
+    # must still put all 200 in ONE cluster keyed by the min id
+    text = "identical document body for the closure test case here"
+    df = spark.createDataFrame([(i, text) for i in range(200)], "doc_id int, text string")
+    clusters = dup_clusters(minhash_lsh_pairs(df)).collect()
+    assert len(clusters) == 200
+    assert {r["cluster_id"] for r in clusters} == {0}
