@@ -742,6 +742,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ctw_det_eval"] = ctw_det_eval
 
+    def spot_e2e_eval(spark, sf):
+        # third published-numbers family: the shipped MANGO IC13 e2e
+        # predictions at the documented -iou=0.1 word_spotting=false
+        # setting (text_spotting/evaluation/readme.md: det R .9269
+        # P .9626 H .9444; spot R .795 P .8256 H .81)
+        from davar_lab_ocr_spark.sources.datalist import eval_archive_pairs
+
+        pairs = eval_archive_pairs(
+            spark,
+            "/root/reference/demo/text_spotting/evaluation/gts/gt-icdar2013.zip",
+            "/root/reference/demo/text_spotting/evaluation/preds/mango_r50_ic13_none.zip",
+            gt_id_strip="^gt_",
+        )
+        row = M.e2e_hmean(
+            pairs,
+            iou_thr=0.1,
+            area_prec_thr=0.1,
+            special_characters="!?.:,*\"()·[]/' ",
+        )
+        cols = [
+            "det_precision", "det_recall", "det_hmean",
+            "spot_precision", "spot_recall", "spot_hmean",
+        ]
+        return row.select(*[F.round(F.col(c), 4).alias(c) for c in cols])
+
+    q["spot_e2e_eval"] = spot_e2e_eval
+
     def e2e_hmean_fixture(spark, sf):
         from davar_lab_ocr_spark.schemas import EVAL_PAIRS
 
@@ -1162,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path, det_hmean_fixture for hmean accumulation, session_tracks
     # for the video family, flagship/full-chain for span assembly).
     tail = [
+        "care_anti_join",
         "order_accuracy",
         "table_html_recovery",
         "mask_rcnn_decode",
@@ -2019,6 +2047,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ctw_det_eval": """
             SELECT 85.9 AS precision_pct, 83.6 AS recall_pct, 84.7 AS hmean_pct
+        """,
+        "spot_e2e_eval": """
+            SELECT 0.9626 AS det_precision, 0.9269 AS det_recall,
+                   0.9444 AS det_hmean, 0.8256 AS spot_precision,
+                   0.795 AS spot_recall, 0.81 AS spot_hmean
         """,
         "flagship_extract": _spans_fixture_sql("expected_flagship"),
         "resumable_extract": _spans_fixture_sql("expected_resume"),

@@ -258,6 +258,7 @@ def _e2e_match_one_doc(
     area_prec_thr=0.5,
     word_spotting=False,
     only_remove_first_last=True,
+    special_characters=None,
 ):
     """Greedy 1-1 match (gt, det index order) counting BOTH detection
     matches and transcription-correct matches — the end-to-end spotting
@@ -266,10 +267,14 @@ def _e2e_match_one_doc(
     transcription before comparison; otherwise the IC15 first/last
     special-character tolerance applies."""
     from ..functions.text import (
+        E2E_SPECIAL_CHARACTERS,
         dictionary_transcription,
         include_in_dictionary,
         transcription_match,
     )
+
+    if special_characters is None:
+        special_characters = E2E_SPECIAL_CHARACTERS
 
     gt_polys = [np.asarray(g["poly"], dtype=np.float64).astype(np.int64).reshape(-1, 2) for g in gt]
     det_polys = [
@@ -320,6 +325,7 @@ def _e2e_match_one_doc(
                     correct = transcription_match(
                         gt_texts[i].upper(),
                         det_texts[j].upper(),
+                        special_characters=special_characters,
                         only_remove_first_last_gt=only_remove_first_last,
                     )
                 matched_spot += int(correct)
@@ -338,14 +344,19 @@ def e2e_match_stage(
     area_prec_thr: float = 0.5,
     word_spotting: bool = False,
     only_remove_first_last: bool = True,
+    special_characters: str | None = None,
 ) -> DataFrame:
-    """eval_pairs rows -> per-doc e2e match counts (det + spot)."""
+    """eval_pairs rows -> per-doc e2e match counts (det + spot).
+    ``special_characters`` defaults to the davarocr e2e_hmean set; the
+    spotting demo harness (text_spotting/evaluation/script.py) appends
+    a space to it — pass that variant for parity with those goldens."""
 
     def run(batches):
         for pdf in batches:
             rows = [
                 _e2e_match_one_doc(
-                    d, p, g, iou_thr, area_prec_thr, word_spotting, only_remove_first_last
+                    d, p, g, iou_thr, area_prec_thr, word_spotting,
+                    only_remove_first_last, special_characters
                 )
                 for d, p, g in zip(pdf["doc_id"], pdf["pred"], pdf["gt"])
             ]
@@ -362,11 +373,15 @@ def e2e_hmean(
     area_prec_thr: float = 0.5,
     word_spotting: bool = False,
     only_remove_first_last: bool = True,
+    special_characters: str | None = None,
 ) -> DataFrame:
     """Corpus end-to-end spotting metrics — one row with det_precision /
     det_recall / det_hmean / spot_precision / spot_recall / spot_hmean
     (e2e_hmean.py:343-357)."""
-    per_doc = e2e_match_stage(pairs, iou_thr, area_prec_thr, word_spotting, only_remove_first_last)
+    per_doc = e2e_match_stage(
+        pairs, iou_thr, area_prec_thr, word_spotting, only_remove_first_last,
+        special_characters,
+    )
     agg = per_doc.agg(
         F.sum("matched_det").alias("md"),
         F.sum("matched_spot").alias("ms"),

@@ -91,3 +91,54 @@ def test_ctw1500_golden_matches_published_numbers(spark):
     assert (pct(row2["precision"]), pct(row2["recall"]), pct(row2["hmean"])) == (
         85.9, 83.6, 84.7,
     )
+
+
+SPOT_GT = "/root/reference/demo/text_spotting/evaluation/gts/gt-icdar2013.zip"
+SPOT_PRED = (
+    "/root/reference/demo/text_spotting/evaluation/preds/mango_r50_ic13_none.zip"
+)
+# the spotting demo harness's special-character set — the davarocr
+# e2e_hmean set PLUS a trailing space (text_spotting/evaluation/
+# script.py default_evaluation_params SPECIAL_CHARACTERS)
+SPOT_SPECIALS = "!?.:,*\"()·[]/' "
+
+
+@pytest.mark.skipif(not os.path.exists(SPOT_GT), reason="reference checkout absent")
+def test_mango_ic13_spotting_golden(spark):
+    """Third published-numbers golden: the shipped MANGO IC13 end-to-end
+    predictions through the e2e spotting matcher at the documented
+    MANGO setting (-iou=0.1, word_spotting=false) must reproduce the
+    readme numbers (text_spotting/evaluation/readme.md):
+        num_gt, num_det: 917 1038
+        det  R .9269  P .9626  H .9444
+        spot R .795   P .8256  H .81
+    Pins detection matching AND the transcription-tolerance rules on
+    917 real ground-truth words."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.operators.metrics import e2e_hmean, e2e_match_stage
+    from davar_lab_ocr_spark.sources.datalist import (
+        eval_archive_pairs,
+        read_eval_archive,
+    )
+
+    pairs = eval_archive_pairs(spark, SPOT_GT, SPOT_PRED, gt_id_strip="^gt_")
+    counts = (
+        e2e_match_stage(
+            pairs, iou_thr=0.1, area_prec_thr=0.1, special_characters=SPOT_SPECIALS
+        )
+        .agg(F.sum("care_gt").alias("g"))
+        .collect()[0]
+    )
+    assert counts["g"] == 917
+    assert read_eval_archive(spark, SPOT_PRED, has_conf=False).count() == 1038
+
+    row = e2e_hmean(
+        pairs, iou_thr=0.1, area_prec_thr=0.1, special_characters=SPOT_SPECIALS
+    ).collect()[0]
+    assert round(row["det_recall"], 4) == 0.9269
+    assert round(row["det_precision"], 4) == 0.9626
+    assert round(row["det_hmean"], 4) == 0.9444
+    assert round(row["spot_recall"], 4) == 0.795
+    assert round(row["spot_precision"], 4) == 0.8256
+    assert round(row["spot_hmean"], 4) == 0.81
