@@ -769,6 +769,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spot_e2e_eval"] = spot_e2e_eval
 
+    def conll_ner_decode(spark, sf):
+        # the reference's shipped CoNLL-2003 TEST datalist (IOBES gold
+        # tags) through the real nlp-datalist scan + distributed NER
+        # decode; oracle = the PUBLIC CoNLL-2003 testb entity counts
+        # (shared-task publication, independent of both repos)
+        from davar_lab_ocr_spark.operators.ner import ner_decode_stage
+        from davar_lab_ocr_spark.sources.datalist import read_nlp_datalist
+
+        df = read_nlp_datalist(
+            spark, "/root/reference/demo/ner/data/CoNLL2003/Datalist/test.json"
+        )
+        return (
+            ner_decode_stage(df)
+            .select(F.explode("entities").alias("e"))
+            .groupBy(F.col("e.etype").alias("etype"))
+            .agg(F.count("*").alias("n_entities"))
+        )
+
+    q["conll_ner_decode"] = conll_ner_decode
+
     def e2e_hmean_fixture(spark, sf):
         from davar_lab_ocr_spark.schemas import EVAL_PAIRS
 
@@ -1189,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # path, det_hmean_fixture for hmean accumulation, session_tracks
     # for the video family, flagship/full-chain for span assembly).
     tail = [
+        "vocab_correct",
         "care_anti_join",
         "order_accuracy",
         "table_html_recovery",
@@ -2052,6 +2073,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.9626 AS det_precision, 0.9269 AS det_recall,
                    0.9444 AS det_hmean, 0.8256 AS spot_precision,
                    0.795 AS spot_recall, 0.81 AS spot_hmean
+        """,
+        "conll_ner_decode": """
+            SELECT 'LOC' AS etype, 1668 AS n_entities
+            UNION ALL SELECT 'ORG', 1661
+            UNION ALL SELECT 'PER', 1617
+            UNION ALL SELECT 'MISC', 702
         """,
         "flagship_extract": _spans_fixture_sql("expected_flagship"),
         "resumable_extract": _spans_fixture_sql("expected_resume"),

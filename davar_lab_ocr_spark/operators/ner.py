@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame
 
 
 def bio_decode_py(tags: list[str]) -> list[tuple[str, int, int]]:
-    """['B-PER','I-PER','O',...] -> [(type, start, end_exclusive)]."""
+    """['B-PER','I-PER','O',...] -> [(type, start, end_exclusive)].
+
+    Accepts both plain BIO and IOBES (the scheme the reference's
+    shipped NER datalists use — demo/ner/data/CoNLL2003 tags entities
+    'S-LOC' / 'B-PER I-PER E-PER'): 'S-X' is a single-token entity,
+    'E-X' extends-and-closes the open X entity. Unknown/inconsistent
+    continuations close the open entity (canonical strict reading)."""
     entities = []
     cur_type, cur_start = None, 0
     for i, tag in enumerate(tags):
@@ -29,8 +35,16 @@ def bio_decode_py(tags: list[str]) -> list[tuple[str, int, int]]:
             if cur_type is not None:
                 entities.append((cur_type, cur_start, i))
             cur_type, cur_start = tag[2:], i
+        elif tag.startswith("S-"):
+            if cur_type is not None:
+                entities.append((cur_type, cur_start, i))
+            entities.append((tag[2:], i, i + 1))
+            cur_type = None
         elif tag.startswith("I-") and cur_type == tag[2:]:
             continue
+        elif tag.startswith("E-") and cur_type == tag[2:]:
+            entities.append((cur_type, cur_start, i + 1))
+            cur_type = None
         else:
             if cur_type is not None:
                 entities.append((cur_type, cur_start, i))

@@ -71,6 +71,40 @@ def read_davar_datalist(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rdd, schema=DATALIST_SCHEMA)
 
 
+def read_nlp_datalist(spark: SparkSession, path: str) -> DataFrame:
+    """NLP (NER) datalist JSON -> rows (doc_id, seq, tokens, tags).
+
+    The reference's NER demos ship doc-keyed datalists whose values
+    carry ``nlp_ann`` (parallel ``tokens`` and ``tokens_labels``
+    sequence lists; labels are single-element lists in IOBES scheme —
+    demo/ner/data/CoNLL2003/Datalist). One row per (doc, sequence);
+    same wholeTextFiles distribution as read_davar_datalist."""
+    import json
+
+    def parse(pair):
+        _fname, text = pair
+        data = json.loads(text)
+        for doc_id, v in data.items():
+            if doc_id == "###" or not isinstance(v, dict):
+                continue
+            ann = v.get("nlp_ann", {}) or {}
+            toks = ann.get("tokens", []) or []
+            labs = ann.get("tokens_labels", []) or []
+            for seq_i, seq_toks in enumerate(toks):
+                seq_labs = labs[seq_i] if seq_i < len(labs) else []
+                yield (
+                    doc_id,
+                    seq_i,
+                    list(seq_toks),
+                    [(lab[0] if lab else "O") for lab in seq_labs],
+                )
+
+    rdd = spark.sparkContext.wholeTextFiles(path).flatMap(parse)
+    return spark.createDataFrame(
+        rdd, schema="doc_id string, seq int, tokens array<string>, tags array<string>"
+    )
+
+
 def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
     """Line-delimited JSON scan (PubTabNet style, test_pub.py:35-36)."""
     reader = spark.read

@@ -142,3 +142,35 @@ def test_mango_ic13_spotting_golden(spark):
     assert round(row["spot_recall"], 4) == 0.795
     assert round(row["spot_precision"], 4) == 0.8256
     assert round(row["spot_hmean"], 4) == 0.81
+
+
+CONLL = "/root/reference/demo/ner/data/CoNLL2003/Datalist/test.json"
+
+
+@pytest.mark.skipif(not os.path.exists(CONLL), reason="reference checkout absent")
+def test_conll2003_ner_decode_golden(spark):
+    """Fourth published-numbers golden: the reference's shipped
+    CoNLL-2003 TEST datalist (IOBES gold tags) through the real
+    nlp-datalist scan + the distributed NER decode stage must produce
+    the PUBLIC CoNLL-2003 testb statistics exactly: 3453 sentences,
+    46,435 tokens, and per-type entity counts LOC 1668 / ORG 1661 /
+    PER 1617 / MISC 702 (total 5648) — numbers published with the
+    original shared task, independent of this repo and of the
+    reference."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.operators.ner import ner_decode_stage
+    from davar_lab_ocr_spark.sources.datalist import read_nlp_datalist
+
+    df = read_nlp_datalist(spark, CONLL)
+    assert df.count() == 3453
+    assert df.agg(F.sum(F.size("tokens"))).collect()[0][0] == 46435
+
+    ents = (
+        ner_decode_stage(df)
+        .select(F.explode("entities").alias("e"))
+        .groupBy("e.etype")
+        .count()
+    )
+    got = {r["etype"]: r["count"] for r in ents.collect()}
+    assert got == {"LOC": 1668, "ORG": 1661, "PER": 1617, "MISC": 702}
