@@ -21,9 +21,19 @@ from __future__ import annotations
 
 import numpy as np
 
-# 36-class scene-text charset (digits + lowercase), mirroring
-# demo/text_recognition/__dictionary__/Scene_text_36.txt
+# scene-text charsets, mirroring the reference's shipped dictionary
+# files demo/text_recognition/__dictionary__/Scene_text_{36,62,68}.txt
+# (byte-for-byte parity pinned by tests/test_ref_golden_eval.py)
 CHARS36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+CHARS62 = CHARS36 + "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+CHARS68 = CHARS36 + ":('-,%>.[?)\"=_*];&+$@/|!<#`{~\\}^"
+
+
+def load_dictionary(path: str) -> list[str]:
+    """Character dictionary file -> ordered char list (the reference's
+    one-chars-per-file format, davar_rcg loaders)."""
+    with open(path, encoding="utf-8") as fh:
+        return list(fh.read().rstrip("\n"))
 
 # CTC: index 0 is the blank
 CTC_CHARSET = ["[blank]"] + list(CHARS36)

@@ -174,3 +174,22 @@ def test_conll2003_ner_decode_golden(spark):
     )
     got = {r["etype"]: r["count"] for r in ents.collect()}
     assert got == {"LOC": 1668, "ORG": 1661, "PER": 1617, "MISC": 702}
+
+
+DICT_DIR = "/root/reference/demo/text_recognition/__dictionary__"
+
+
+@pytest.mark.skipif(not os.path.exists(DICT_DIR), reason="reference checkout absent")
+def test_charsets_match_shipped_dictionaries():
+    """Byte parity between our charset constants and the reference's
+    shipped recognition dictionary files."""
+    from davar_lab_ocr_spark.functions.text import (
+        CHARS36,
+        CHARS62,
+        CHARS68,
+        load_dictionary,
+    )
+
+    assert load_dictionary(f"{DICT_DIR}/Scene_text_36.txt") == list(CHARS36)
+    assert load_dictionary(f"{DICT_DIR}/Scene_text_62.txt") == list(CHARS62)
+    assert load_dictionary(f"{DICT_DIR}/Scene_text_68.txt") == list(CHARS68)
