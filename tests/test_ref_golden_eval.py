@@ -193,3 +193,29 @@ def test_charsets_match_shipped_dictionaries():
     assert load_dictionary(f"{DICT_DIR}/Scene_text_36.txt") == list(CHARS36)
     assert load_dictionary(f"{DICT_DIR}/Scene_text_62.txt") == list(CHARS62)
     assert load_dictionary(f"{DICT_DIR}/Scene_text_68.txt") == list(CHARS68)
+
+
+WILDRECEIPT = "/root/reference/demo/text_ie/datalist/wildreceipt/datalist_test.json"
+
+
+@pytest.mark.skipif(not os.path.exists(WILDRECEIPT), reason="reference checkout absent")
+def test_wildreceipt_datalist_scan_golden(spark):
+    """The reference's shipped wildreceipt TEST datalist through the
+    real datalist scan: 472 documents (the published wildreceipt test
+    split) of 8-point quads with labels inside the 26-class closed set
+    (class_list.txt)."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.sources.datalist import read_davar_datalist
+
+    df = read_davar_datalist(spark, WILDRECEIPT)
+    assert df.count() == 472
+    regions = df.select(F.explode("regions").alias("r"))
+    n_regions = regions.count()
+    assert n_regions > 10000  # dense OCR-line annotation
+    assert regions.filter(F.size("r.bbox") != 8).count() == 0
+    labels = {
+        int(r["l"])
+        for r in regions.select(F.explode("r.label").alias("l")).distinct().collect()
+    }
+    assert labels <= set(range(26))
