@@ -162,3 +162,48 @@ def test_tiou_terms_bounded_by_iou(x0, y0, w0, h0, x1, y1, w1, h1):
     assert -1e-12 <= tp <= iou + 1e-12
     # no other gt -> no outlier penalty: precision term IS the iou
     assert abs(tp - iou) < 1e-9
+
+
+# --- even-odd polygon decomposition properties ---------------------------
+_poly_pts = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=3, max_size=10
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_poly_pts)
+def test_even_odd_area_matches_shoelace_for_simple_polys(pts):
+    """For SIMPLE polygons (convex hull of the sampled points — always
+    simple), the parity fill equals the interior: piece areas sum to
+    the shoelace area."""
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.geometry import even_odd_pieces, poly_area
+
+    arr = np.array(pts, dtype=np.float64)
+    # build a simple polygon: order the points by angle around the mean
+    c = arr.mean(axis=0)
+    order = np.argsort(np.arctan2(arr[:, 1] - c[1], arr[:, 0] - c[0]), kind="stable")
+    poly = arr[order]
+    target = poly_area(poly)
+    got = sum(poly_area(q) for q in even_odd_pieces(poly))
+    assert abs(got - target) <= 1e-6 * max(target, 1.0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_poly_pts)
+def test_even_odd_area_bounded_by_bbox_for_any_contour(pts):
+    """For ARBITRARY (possibly self-intersecting) closed contours the
+    parity-filled area is non-negative and at most the bbox area.
+    (No lower bound vs shoelace exists either way: a bowtie's shoelace
+    cancels below parity, while a doubly-traversed triangle's shoelace
+    counts winding-2 regions that parity excludes.)"""
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.geometry import even_odd_pieces, poly_area
+
+    poly = np.array(pts, dtype=np.float64)
+    got = sum(poly_area(q) for q in even_odd_pieces(poly))
+    x0, y0 = poly.min(axis=0)
+    x1, y1 = poly.max(axis=0)
+    assert -1e-9 <= got <= (x1 - x0) * (y1 - y0) + 1e-6
