@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 DATALIST_SCHEMA = (
     "doc_id string, width int, height int, "
     "regions array<struct<bbox:array<double>, care:int, "
-    "label:array<string>, text:string, cell:array<int>>>"
+    "label:array<string>, text:string, cell:array<int>, "
+    "relation:array<int>>>"
 )
 
 
@@ -53,8 +54,11 @@ def read_davar_datalist(spark: SparkSession, path: str) -> DataFrame:
             labels = ann.get("labels") or [None] * n
             texts = ann.get("texts") or [""] * n
             # table datalists (PubTabNet) carry per-region cell spans
-            # [start_row, start_col, end_row, end_col]
+            # [start_row, start_col, end_row, end_col]; table
+            # UNDERSTANDING datalists (ComFinTab / CTUNet) additionally
+            # carry per-region relation rows (the adjacency matrix)
             cells = ann.get("cells") or [None] * n
+            relations = ann.get("relations") or [None] * n
             regions = [
                 {
                     "bbox": [float(x) for x in bboxes[i]],
@@ -62,6 +66,7 @@ def read_davar_datalist(spark: SparkSession, path: str) -> DataFrame:
                     "label": [str(x) for x in labels[i]] if labels[i] is not None else None,
                     "text": texts[i],
                     "cell": cells[i],
+                    "relation": relations[i],
                 }
                 for i in range(n)
             ]

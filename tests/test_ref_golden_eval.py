@@ -219,3 +219,30 @@ def test_wildreceipt_datalist_scan_golden(spark):
         for r in regions.select(F.explode("r.label").alias("l")).distinct().collect()
     }
     assert labels <= set(range(26))
+
+
+COMFINTAB = (
+    "/root/reference/demo/table_understanding/datalist/ComFinTab_examples.json"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(COMFINTAB), reason="reference checkout absent")
+def test_comfintab_relations_scan_and_tree_f1(spark):
+    """The reference's shipped ComFinTab (CTUNet) examples through the
+    real datalist scan (with the r4 `relation` adjacency rows): every
+    relations matrix is square, decodes into at least one key-value
+    tree, and gold-vs-gold tree-F1 is exactly 1.0 under both hard and
+    soft matching for all 20 tables — the kernel exercised on real
+    relation structures instead of synthetic fixtures."""
+    from davar_lab_ocr_spark.functions.trees import adjacency_to_trees, tree_f1
+    from davar_lab_ocr_spark.sources.datalist import read_davar_datalist
+
+    rows = read_davar_datalist(spark, COMFINTAB).collect()
+    assert len(rows) == 20
+    for row in rows:
+        adj = [list(r["relation"]) for r in row["regions"]]
+        n = len(adj)
+        assert n > 0 and all(len(r) == n for r in adj)
+        assert len(adjacency_to_trees(adj)) >= 1
+        assert tree_f1(adj, adj, "hard") == (1.0, 1.0, 1.0)
+        assert tree_f1(adj, adj, "soft") == (1.0, 1.0, 1.0)
