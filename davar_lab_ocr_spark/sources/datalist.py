@@ -19,12 +19,46 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
-DATALIST_SCHEMA = (
-    "doc_id string, width int, height int, "
-    "regions array<struct<bbox:array<double>, care:int, "
+_REGIONS_TYPE = (
+    "array<struct<bbox:array<double>, care:int, "
     "label:array<string>, text:string, cell:array<int>, "
     "relation:array<int>>>"
 )
+# ``url``: two-level layout datalists (VSR / PubLayNet) point each doc
+# at a per-doc annotation JSON (mm_layout_loading.py); null elsewhere
+DATALIST_SCHEMA = (
+    f"doc_id string, width int, height int, url string, regions {_REGIONS_TYPE}"
+)
+LAYOUT_ANNO_SCHEMA = (
+    f"url string, width int, height int, regions {_REGIONS_TYPE}, "
+    "layout array<struct<care:int, label:array<string>, "
+    "segboxes:array<array<double>>>>"
+)
+
+
+def _build_regions(ann: dict) -> list[dict]:
+    bboxes = ann.get("bboxes", []) or []
+    n = len(bboxes)
+    cares = ann.get("cares") or [1] * n
+    labels = ann.get("labels") or [None] * n
+    texts = ann.get("texts") or [""] * n
+    # table datalists (PubTabNet) carry per-region cell spans
+    # [start_row, start_col, end_row, end_col]; table UNDERSTANDING
+    # datalists (ComFinTab / CTUNet) additionally carry per-region
+    # relation rows (the adjacency matrix)
+    cells = ann.get("cells") or [None] * n
+    relations = ann.get("relations") or [None] * n
+    return [
+        {
+            "bbox": [float(x) for x in bboxes[i]],
+            "care": int(cares[i]),
+            "label": [str(x) for x in labels[i]] if labels[i] is not None else None,
+            "text": texts[i],
+            "cell": cells[i],
+            "relation": relations[i],
+        }
+        for i in range(n)
+    ]
 
 
 def read_davar_datalist(spark: SparkSession, path: str) -> DataFrame:
@@ -47,33 +81,43 @@ def read_davar_datalist(spark: SparkSession, path: str) -> DataFrame:
         for doc_id, v in data.items():
             if doc_id == "###" or not isinstance(v, dict):
                 continue
-            ann = v.get("content_ann", {}) or {}
-            bboxes = ann.get("bboxes", []) or []
-            n = len(bboxes)
-            cares = ann.get("cares") or [1] * n
-            labels = ann.get("labels") or [None] * n
-            texts = ann.get("texts") or [""] * n
-            # table datalists (PubTabNet) carry per-region cell spans
-            # [start_row, start_col, end_row, end_col]; table
-            # UNDERSTANDING datalists (ComFinTab / CTUNet) additionally
-            # carry per-region relation rows (the adjacency matrix)
-            cells = ann.get("cells") or [None] * n
-            relations = ann.get("relations") or [None] * n
-            regions = [
-                {
-                    "bbox": [float(x) for x in bboxes[i]],
-                    "care": int(cares[i]),
-                    "label": [str(x) for x in labels[i]] if labels[i] is not None else None,
-                    "text": texts[i],
-                    "cell": cells[i],
-                    "relation": relations[i],
-                }
-                for i in range(n)
-            ]
-            yield (doc_id, v.get("width"), v.get("height"), regions)
+            regions = _build_regions(v.get("content_ann", {}) or {})
+            yield (doc_id, v.get("width"), v.get("height"), v.get("url"), regions)
 
     rdd = spark.sparkContext.wholeTextFiles(path).flatMap(parse)
     return spark.createDataFrame(rdd, schema=DATALIST_SCHEMA)
+
+
+def read_layout_annos(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Second level of the VSR two-level layout scan: ONE annotation
+    JSON per doc (mm_layout_loading.py:19-120; PubLayNet Annos/*),
+    keyed by its filename — the ``url`` the top datalist points at.
+    Carries token-level ``content_ann`` regions plus layout-level
+    ``content_ann2`` (category labels + polygon segboxes)."""
+    import json
+
+    def parse(pair):
+        fname, text = pair
+        v = json.loads(text)
+        url = fname.rsplit("/", 1)[-1]
+        regions = _build_regions(v.get("content_ann", {}) or {})
+        ann2 = v.get("content_ann2", {}) or {}
+        seg = ann2.get("segboxes", []) or []
+        labels2 = ann2.get("labels") or [None] * len(seg)
+        n2 = max(len(seg), len(labels2))
+        cares2 = ann2.get("cares") or [1] * n2
+        layout = [
+            {
+                "care": int(cares2[i]) if i < len(cares2) else 1,
+                "label": [str(x) for x in labels2[i]] if i < len(labels2) and labels2[i] else None,
+                "segboxes": [[float(x) for x in p] for p in seg[i]] if i < len(seg) else None,
+            }
+            for i in range(n2)
+        ]
+        yield (url, v.get("width"), v.get("height"), regions, layout)
+
+    rdd = spark.sparkContext.wholeTextFiles(path_glob).flatMap(parse)
+    return spark.createDataFrame(rdd, schema=LAYOUT_ANNO_SCHEMA)
 
 
 def read_nlp_datalist(spark: SparkSession, path: str) -> DataFrame:

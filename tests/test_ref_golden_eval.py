@@ -246,3 +246,43 @@ def test_comfintab_relations_scan_and_tree_f1(spark):
         assert len(adjacency_to_trees(adj)) >= 1
         assert tree_f1(adj, adj, "hard") == (1.0, 1.0, 1.0)
         assert tree_f1(adj, adj, "soft") == (1.0, 1.0, 1.0)
+
+
+PUBLAYNET_DL = (
+    "/root/reference/demo/text_layout/datalist/PubLayNet/Datalist/"
+    "datalist_val_sample.json"
+)
+PUBLAYNET_ANNOS = "/root/reference/demo/text_layout/datalist/PubLayNet/Annos/dev"
+
+
+@pytest.mark.skipif(not os.path.exists(PUBLAYNET_DL), reason="reference checkout absent")
+def test_publaynet_two_level_layout_scan(spark):
+    """The VSR two-level layout scan on the reference's shipped
+    PubLayNet sample: top datalist rows carry only (width, height,
+    url); the per-doc annotation JSONs join in by url and carry BOTH
+    token-level regions (content_ann) and layout-level category
+    regions with polygon segboxes (content_ann2) — the
+    mm_layout_loading.py data shape on real files."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.sources.datalist import (
+        join_two_level,
+        read_davar_datalist,
+        read_layout_annos,
+    )
+
+    top = read_davar_datalist(spark, PUBLAYNET_DL)
+    assert top.count() == 2
+    assert top.filter(F.col("url").isNull()).count() == 0
+    assert top.filter(F.size("regions") > 0).count() == 0  # first level: no anns
+
+    annos = read_layout_annos(spark, PUBLAYNET_ANNOS)
+    joined = join_two_level(top.drop("width", "height", "regions"), annos, "url")
+    rows = joined.collect()
+    assert len(rows) == 2
+    for row in rows:
+        assert len(row["regions"]) > 30  # token-level OCR lines
+        assert len(row["layout"]) > 5  # layout category regions
+        for lay in row["layout"]:
+            assert lay["segboxes"] and all(len(p) >= 6 for p in lay["segboxes"])
+            assert lay["label"] is not None
