@@ -286,3 +286,27 @@ def test_publaynet_two_level_layout_scan(spark):
         for lay in row["layout"]:
             assert lay["segboxes"] and all(len(p) >= 6 for p in lay["segboxes"])
             assert lay["label"] is not None
+
+
+RESUME = "/root/reference/demo/ner/data/RESUME/Datalist/test.json"
+
+
+@pytest.mark.skipif(not os.path.exists(RESUME), reason="reference checkout absent")
+def test_resume_ner_decode_golden(spark):
+    """Chinese RESUME NER test datalist (IOBES): 477 sentences and
+    1,630 gold entities — the published test-split statistics of the
+    RESUME dataset (Zhang & Yang, ACL 2018), decoded by the same
+    distributed stage."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.operators.ner import ner_decode_stage
+    from davar_lab_ocr_spark.sources.datalist import read_nlp_datalist
+
+    df = read_nlp_datalist(spark, RESUME)
+    assert df.count() == 477
+    total = (
+        ner_decode_stage(df)
+        .agg(F.sum(F.size("entities")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert total == 1630
