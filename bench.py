@@ -129,8 +129,8 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
     estimate we additionally require that the N-level min did not
     improve in the clearing round (a later round can lower the
     numerator and DEPRESS the ratio, so ratio-only stopping biases the
-    record upward); a matched-window pair is internally consistent —
-    both legs saw the same weather — so it may stop on its own.
+    record upward); the matched-window MEDIAN is robust to single
+    flipped windows in both directions, so it may stop on its own.
 
     Budget policy (the r3 failure was a fixed 300 s budget + 7-round
     cap cutting the loop off with a contended 0.521 on record while
@@ -244,29 +244,40 @@ def _pair_efficiency(best, round_log, pair, cores_ratio):
       4N leg that never saw a quiet window (the r3 driver record:
       N matched r2's min while every 4N sample was 1.8x contended ->
       0.521 on record for plans whose quiet-window ratio is 0.86+).
-    - matched-window: best ratio among rounds where BOTH legs ran
-      back-to-back, so both sampled (approximately) the same host
+    - matched-window: MEDIAN of the per-round ratios where BOTH legs
+      ran back-to-back, so both sampled (approximately) the same host
       weather; uniform contention cancels in the ratio. The legs are
       still sequential within the round, so a weather flip BETWEEN
-      them can produce a nonsense ratio — scaling efficiency > 1.0 on
-      a shared-memory box is physically impossible, so any round whose
-      ratio exceeds 1.0 is evidence of a mismatched window and is
-      DISCARDED (not clamped: a garbage window proves nothing).
+      them can skew a single round's ratio EITHER way: ratios > 1.0
+      are physically impossible on a shared-memory box and are
+      DISCARDED outright, and taking the median (not the max) of the
+      remaining rounds keeps one contended-N/quiet-4N flip from
+      inflating the record the same way a discarded >1.0 round would
+      have. At least two valid rounds are required for the estimate
+      to count at all.
 
-    The recorded efficiency is max(global, valid matched): global-min
+    The recorded efficiency is max(global, matched-median): global-min
     can only understate (its legs' weather is mismatched at most one
-    way that matters — quiet N / loud 4N), and a valid matched pair is
-    self-consistent, so the max is the best-supported estimate."""
+    way that matters — quiet N / loud 4N), and the matched median is
+    robust to single flipped windows in both directions."""
     k_n, k_4n = pair
     eff_g = 0.0
     if best.get(k_n, float("inf")) < float("inf") and best.get(k_4n, float("inf")) < float("inf"):
         eff_g = best[k_n] / best[k_4n] / cores_ratio
+    ratios = [
+        row[k_n] / row[k_4n] / cores_ratio
+        for row in round_log
+        if k_n in row and k_4n in row
+    ]
+    valid = sorted(r for r in ratios if r <= 1.0)
     eff_m = 0.0
-    for row in round_log:
-        if k_n in row and k_4n in row:
-            ratio = row[k_n] / row[k_4n] / cores_ratio
-            if ratio <= 1.0:
-                eff_m = max(eff_m, ratio)
+    if len(valid) >= 2:
+        mid = len(valid) // 2
+        eff_m = (
+            valid[mid]
+            if len(valid) % 2
+            else 0.5 * (valid[mid - 1] + valid[mid])
+        )
     return eff_g, eff_m
 
 

@@ -236,72 +236,25 @@ def poly_iou(poly_a, poly_b) -> float:
 # pairwise disjoint within each polygon).
 # --------------------------------------------------------------------------
 def is_convex_poly(poly) -> bool:
+    """True only for SIMPLE convex polygons. Uniform cross-product sign
+    alone is not enough: a pentagram (vertices in star order) turns the
+    same way at every corner yet self-intersects, so the total turning
+    is checked too — a simple convex contour turns exactly +-2*pi,
+    a star winds k >= 2 times (+-2*pi*k)."""
     p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
-    if len(p) < 4:
-        return True
-    d = np.diff(np.vstack([p, p[:2]]), axis=0)
-    cross = d[:-1, 0] * d[1:, 1] - d[:-1, 1] * d[1:, 0]
-    return bool(np.all(cross >= 0) or np.all(cross <= 0))
-
-
-def _point_blocks_ear(pt, a, b, c) -> bool:
-    """True if pt (not a corner) lies inside-or-on triangle abc (CCW)."""
-    if any(pt[0] == v[0] and pt[1] == v[1] for v in (a, b, c)):
-        return False
-    c1 = (b[0] - a[0]) * (pt[1] - a[1]) - (b[1] - a[1]) * (pt[0] - a[0])
-    c2 = (c[0] - b[0]) * (pt[1] - b[1]) - (c[1] - b[1]) * (pt[0] - b[0])
-    c3 = (a[0] - c[0]) * (pt[1] - c[1]) - (a[1] - c[1]) * (pt[0] - c[0])
-    return c1 >= 0 and c2 >= 0 and c3 >= 0
-
-
-def triangulate(poly) -> list[np.ndarray]:
-    """Ear-clipping triangulation of a simple polygon -> list of [3, 2]
-    CCW triangles with positive area. Degenerate (collinear) vertices
-    are dropped; if no ear is found (self-intersecting input) the
-    remainder falls back to a fan — a documented approximation for
-    malformed inputs rather than a crash."""
-    p = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    # zero-length edges break the turning angles; collapse them first
     keep = [i for i in range(len(p)) if not np.array_equal(p[i], p[(i + 1) % len(p)])]
     p = p[keep]
-    if len(p) < 3:
-        return []
-    if _signed_area(p) < 0:
-        p = p[::-1]
-    idx = list(range(len(p)))
-    tris: list[np.ndarray] = []
-    while len(idx) > 3:
-        found = False
-        for k in range(len(idx)):
-            i0, i1, i2 = idx[k - 1], idx[k], idx[(k + 1) % len(idx)]
-            a, b, c = p[i0], p[i1], p[i2]
-            cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
-            if cross < 0:
-                continue  # reflex corner
-            if cross == 0:
-                idx.pop(k)  # collinear: zero-area ear, drop the vertex
-                found = True
-                break
-            if any(
-                _point_blocks_ear(p[j], a, b, c)
-                for j in idx
-                if j not in (i0, i1, i2)
-            ):
-                continue
-            tris.append(np.array([a, b, c]))
-            idx.pop(k)
-            found = True
-            break
-        if not found:  # self-intersecting / degenerate: fan remainder
-            for k in range(1, len(idx) - 1):
-                t = np.array([p[idx[0]], p[idx[k]], p[idx[k + 1]]])
-                if poly_area(t) > 0:
-                    tris.append(t)
-            return tris
-    if len(idx) == 3:
-        t = p[idx]
-        if poly_area(t) > 0:
-            tris.append(t)
-    return tris
+    if len(p) < 4:
+        return True
+    e = np.roll(p, -1, axis=0) - p
+    e2 = np.roll(e, -1, axis=0)
+    cross = e[:, 0] * e2[:, 1] - e[:, 1] * e2[:, 0]
+    if not (np.all(cross >= 0) or np.all(cross <= 0)):
+        return False
+    dot = (e * e2).sum(axis=1)
+    turning = float(np.abs(np.arctan2(cross, dot).sum()))
+    return turning < 2.5 * np.pi
 
 
 def even_odd_pieces(poly) -> list[np.ndarray]:
@@ -368,39 +321,6 @@ def even_odd_pieces(poly) -> list[np.ndarray]:
             if poly_area(quad) > 0:
                 pieces.append(quad)
     return pieces
-
-
-def poly_intersection_pieces(poly_a, poly_b, tris_a=None, tris_b=None) -> list[np.ndarray]:
-    """Convex pieces tiling A n B with pairwise-disjoint interiors.
-    Convex x convex short-circuits to one Sutherland-Hodgman clip;
-    otherwise decompose under the even-odd rule (or reuse the caller's
-    cached decompositions) and clip pairwise."""
-    a = np.asarray(poly_a, dtype=np.float64).reshape(-1, 2)
-    b = np.asarray(poly_b, dtype=np.float64).reshape(-1, 2)
-    if is_convex_poly(a) and is_convex_poly(b):
-        c = convex_poly_clip(a, b)
-        return [c] if len(c) >= 3 and poly_area(c) > 0 else []
-    pieces = []
-    for ta in (tris_a if tris_a is not None else even_odd_pieces(a)):
-        for tb in (tris_b if tris_b is not None else even_odd_pieces(b)):
-            c = convex_poly_clip(ta, tb)
-            if len(c) >= 3 and poly_area(c) > 0:
-                pieces.append(c)
-    return pieces
-
-
-def simple_poly_intersection_area(poly_a, poly_b, tris_a=None, tris_b=None) -> float:
-    """Intersection area of two simple (possibly concave) polygons."""
-    return float(sum(poly_area(c) for c in poly_intersection_pieces(poly_a, poly_b, tris_a, tris_b)))
-
-
-def simple_poly_iou(poly_a, poly_b, tris_a=None, tris_b=None) -> float:
-    """IoU of two simple (possibly concave) polygons."""
-    a = np.asarray(poly_a, dtype=np.float64).reshape(-1, 2)
-    b = np.asarray(poly_b, dtype=np.float64).reshape(-1, 2)
-    inter = simple_poly_intersection_area(a, b, tris_a, tris_b)
-    union = poly_area(a) + poly_area(b) - inter
-    return inter / union if union > 0 else 0.0
 
 
 # --------------------------------------------------------------------------

@@ -437,6 +437,51 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
     raise ValueError("no frame header found")
 
 
+def _decode_mcu_grid(data, reader, order, planes, preds, mcus_x, mcus_y,
+                     restart_interval):
+    """Interleaved-MCU entropy decode into the component planes."""
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.byte_align()
+                if not (data[reader.pos] == 0xFF and 0xD0 <= data[reader.pos + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                reader.pos += 2
+                preds = [0] * len(order)
+            for oi, (pi, hs, vs, q, dct, act) in enumerate(order):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = _read_symbol(reader, dct)
+                        diff = _extend(reader.read_bits(t), t) if t else 0
+                        preds[oi] += diff
+                        zz[0] = preds[oi]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(reader, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        # zz is zigzag-ordered; q is natural-order:
+                        # reorder FIRST, then dequantize elementwise
+                        coef = (zz[UNZIG] * q).reshape(8, 8)
+                        block = _T.T @ coef @ _T + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[pi][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
+
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 (h, w, c) array (c=1 gray, c=3 RGB)."""
     if not data.startswith(SOI):
@@ -520,48 +565,21 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     planes = []
     for cs, td, ta in scan:
         hs, vs, tq = by_id[cs]
+        if tq not in quant or td not in huff_dc or ta not in huff_ac:
+            raise ValueError("scan references a missing DQT/DHT table")
         planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64))
         order.append((len(planes) - 1, hs, vs, quant[tq], huff_dc[td], huff_ac[ta]))
 
     reader = _BitReader(data, pos)
     preds = [0] * len(order)
     mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.byte_align()
-                if not (data[reader.pos] == 0xFF and 0xD0 <= data[reader.pos + 1] <= 0xD7):
-                    raise ValueError("expected restart marker")
-                reader.pos += 2
-                preds = [0] * len(order)
-            for oi, (pi, hs, vs, q, dct, act) in enumerate(order):
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = _read_symbol(reader, dct)
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        preds[oi] += diff
-                        zz[0] = preds[oi]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(reader, act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        coef = (zz * q)[UNZIG].reshape(8, 8)
-                        block = _T.T @ coef @ _T + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[pi][y0:y0 + 8, x0:x0 + 8] = block
-            mcu_count += 1
+    try:
+        _decode_mcu_grid(data, reader, order, planes, preds, mcus_x, mcus_y,
+                         restart_interval)
+    except _MarkerReached as exc:
+        raise ValueError("truncated JPEG entropy stream") from exc
+    except IndexError as exc:
+        raise ValueError("truncated JPEG data") from exc
 
     # upsample to full grid, crop, color convert
     full = []

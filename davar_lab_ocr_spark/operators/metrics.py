@@ -517,12 +517,14 @@ def det_eval_full(
     methodMetrics): precision, recall, hmean, ave_precision (the
     CONFIDENCES sweep over all care detections, denominator =
     numGlobalCareGt), and the TIoU triple — one row. The
-    det_detections_stage output is localCheckpoint-ed so the
-    O(n_gt * n_det) polygon matcher runs ONCE even though three
-    downstream consumers (the counts agg, the quantile pass inside
-    ranked_detections, and the final cumsum) re-traverse its lineage;
-    the AP sweep uses the two-phase distributed cumsum."""
-    rows = det_detections_stage(pairs, iou_thr, area_prec_thr).localCheckpoint(eager=True)
+    det_detections_stage output is lazily localCheckpoint-ed
+    (eager=False: construction stays a pure transformation; the first
+    ACTION materializes the checkpoint) so the O(n_gt * n_det) polygon
+    matcher runs ONCE even though three downstream consumers (the
+    counts agg, the quantile pass inside ranked_detections, and the
+    final cumsum) re-traverse its lineage; the AP sweep uses the
+    two-phase distributed cumsum."""
+    rows = det_detections_stage(pairs, iou_thr, area_prec_thr).localCheckpoint(eager=False)
     det_rows = rows.filter(F.col("det_idx") >= 0)
     counts = rows.agg(
         F.sum("matched").alias("m"),

@@ -120,3 +120,31 @@ def test_even_odd_pieces_bowtie_and_concave():
     # concave L: parity fill == interior
     L = [(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)]
     assert abs(sum(poly_area(q) for q in even_odd_pieces(L)) - 12.0) < 1e-9
+
+
+def test_pentagram_not_convex_and_uses_even_odd():
+    # regression: a star-order pentagram turns uniformly at every
+    # corner yet self-intersects; the convex fast path must reject it
+    # (total-turning check) so the even-odd decomposition applies
+    import math
+
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.geometry import (
+        even_odd_pieces,
+        is_convex_poly,
+        poly_area,
+    )
+
+    star = np.array(
+        [
+            (math.cos(math.radians(90 + 144 * i)), math.sin(math.radians(90 + 144 * i)))
+            for i in range(5)
+        ]
+    )
+    assert not is_convex_poly(star)
+    # parity fill of the unit pentagram: the 5 points + inner pentagon
+    # WITHOUT the winding-2 core counted twice — strictly less than the
+    # convex-clip (hull-like) area and strictly positive
+    area = sum(poly_area(q) for q in even_odd_pieces(star))
+    assert 0.5 < area < 1.0  # ~0.7757

@@ -103,3 +103,28 @@ def test_payload_paths_accept_jpeg():
     assert payload_meta(payload) == (h, w, c)
     arr = payload_to_array(payload)
     assert arr.shape == (h, w, c) and arr.dtype == np.uint8
+
+
+def test_noise_roundtrip_tight():
+    # regression: dequantization must reorder zigzag->natural BEFORE
+    # multiplying by the (natural-order) quant table; with the orders
+    # crossed, high-frequency content decodes against wrong quant
+    # values and random-noise roundtrip error explodes (~200)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (40, 56), np.uint8)
+    out = jpeg_decode(jpeg_encode(img, quality=95))
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 12
+
+
+def test_truncated_stream_is_valueerror_and_none_payload():
+    # corrupt/truncated payloads: ValueError from the codec (not a
+    # private exception), None from the payload path
+    from davar_lab_ocr_spark.operators.multimodal import payload_to_array
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    b = jpeg_encode(img, quality=90, subsample=2)
+    trunc = b[: len(b) // 2] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg_decode(trunc)
+    assert payload_to_array(trunc) is None
