@@ -1203,9 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # has a driver row at most one round old (VERDICT r3 next-round #8).
     # Round 4 tail (13 entries; EVERY one driver-green in r3's window,
     # so nothing is ever more than one round stale): the r3 tail swaps
-    # back into the window, and r4's seven NEW queries (media_decode_
-    # jpeg, ref_det_eval, ctw_det_eval, spot_e2e_eval, conll_ner_decode,
-    # dedup_clusters, plus the rotated-in seven) take their slots.
+    # back into the window, and r4's six NEW queries (media_decode_jpeg,
+    # ref_det_eval, ctw_det_eval, spot_e2e_eval, conll_ner_decode,
+    # dedup_clusters) plus the rotated-in seven take the 13 slots.
     # Family pinning for the rotated-out set: the media path is pinned
     # by media_decode/media_decode_jpeg; hmean matching by
     # det_hmean_fixture + the THREE published-numbers det/e2e goldens;

@@ -218,7 +218,8 @@ def _signed_area(p: np.ndarray) -> float:
 
 def poly_iou(poly_a, poly_b) -> float:
     """IoU of two convex polygons (flat [x1,y1,...] or [n,2]). For
-    possibly-concave inputs use simple_poly_iou."""
+    possibly-concave inputs use the prepared-polygon path in
+    operators/metrics (_prep_poly + even_odd_pieces)."""
     a = np.asarray(poly_a, dtype=np.float64).reshape(-1, 2)
     b = np.asarray(poly_b, dtype=np.float64).reshape(-1, 2)
     inter = convex_poly_intersection_area(a, b)
@@ -227,13 +228,11 @@ def poly_iou(poly_a, poly_b) -> float:
 
 
 # --------------------------------------------------------------------------
-# general (possibly-concave) simple polygons: ear-clipping triangulation
-# + pairwise convex clips. Curved-text datasets (Total-Text, CTW1500)
-# annotate concave outlines — the reference evaluates them with a
-# general polygon-boolean library (script.py get_intersection); here the
-# intersection AREA decomposes exactly over the triangulations:
-# |A n B| = sum_ij |tri_i(A) n tri_j(B)| (triangle interiors are
-# pairwise disjoint within each polygon).
+# general (possibly-concave / self-intersecting) polygon support:
+# is_convex_poly gate + even_odd_pieces decomposition. The prepared-
+# polygon consumers live in operators/metrics (_prep_poly et al.);
+# intersection areas decompose exactly over the convex pieces (piece
+# interiors are pairwise disjoint within one polygon).
 # --------------------------------------------------------------------------
 def is_convex_poly(poly) -> bool:
     """True only for SIMPLE convex polygons. Uniform cross-product sign

@@ -572,7 +572,6 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     reader = _BitReader(data, pos)
     preds = [0] * len(order)
-    mcu_count = 0
     try:
         _decode_mcu_grid(data, reader, order, planes, preds, mcus_x, mcus_y,
                          restart_interval)
