@@ -139,7 +139,9 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
     recorded efficiency already clears ``gate``; while it does NOT,
     the loop keeps going — dropping to primary-pair-only rounds to
     sample faster — until the hard budget
-    (SPARK_GRAFT_SCALING_HARD_BUDGET_SEC, 600 s) is truly gone."""
+    (SPARK_GRAFT_SCALING_HARD_BUDGET_SEC, 540 s — sized so the worst
+    case scaling + suite + probes stays inside a ~15 min caller
+    timeout) is truly gone."""
     import subprocess
 
     # sink to ramdisk when available: the measurement targets compute +
@@ -163,7 +165,7 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
     best: dict[tuple[int, str], float] = {k: float("inf") for k in procs}
     round_log: list[dict] = []
     soft = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "300"))
-    hard = float(os.environ.get("SPARK_GRAFT_SCALING_HARD_BUDGET_SEC", "600"))
+    hard = float(os.environ.get("SPARK_GRAFT_SCALING_HARD_BUDGET_SEC", "540"))
     # early stop needs a floor of full rounds: the scaling record AND
     # the headline extract_full min both come from these samples, and a
     # lucky first-round ratio must not cut min-of-N sampling short
