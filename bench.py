@@ -113,35 +113,26 @@ def _serve(cores: int, split: str, corpus_path: str, out_path: str) -> None:
 
 
 def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
-                       rounds: int = 40,
-                       primary: tuple | None = None,
-                       gate: float = 0.8):
+                       rounds: int | None = None):
     """Boot one warm child per (cores, split) level, then alternate RUN
     commands across levels round-robin.
 
     Returns (best, round_log): per-level min over rounds, plus the
-    per-round timing rows — main() derives TWO efficiency estimates
-    from them (see _pair_efficiency) so one contended window can't
-    poison the recorded ratio.
+    per-round timing rows — main() derives the efficiency estimates
+    from them (see _pair_efficiency).
 
-    ``primary``: ((n_key, 4n_key), cores_ratio, target) — stop early
-    once either estimate clears the target. For the global-min
-    estimate we additionally require that the N-level min did not
-    improve in the clearing round (a later round can lower the
-    numerator and DEPRESS the ratio, so ratio-only stopping biases the
-    record upward); the matched-window MEDIAN is robust to single
-    flipped windows in both directions, so it may stop on its own.
-
-    Budget policy (the r3 failure was a fixed 300 s budget + 7-round
-    cap cutting the loop off with a contended 0.521 on record while
-    ~180 s of the global budget went unused): the soft budget
-    (SPARK_GRAFT_SCALING_BUDGET_SEC, 300 s) is honored whenever the
-    recorded efficiency already clears ``gate``; while it does NOT,
-    the loop keeps going — dropping to primary-pair-only rounds to
-    sample faster — until the hard budget
+    Sampling plan (PRE-REGISTERED, gate-independent): exactly
+    SPARK_GRAFT_SCALING_ROUNDS full rounds (default 8), cut short
+    only by the wall-clock hard budget
     (SPARK_GRAFT_SCALING_HARD_BUDGET_SEC, 540 s — sized so the worst
     case scaling + suite + probes stays inside a ~15 min caller
-    timeout) is truly gone."""
+    timeout). The loop never looks at the measured efficiency: earlier
+    revisions kept sampling while the record failed the 0.8 gate and
+    stopped as soon as it cleared, which is optional stopping — a
+    config whose true efficiency straddles the gate would eventually
+    record a pass, biasing the record upward (flagged in r4 ADVICE).
+    The wall clock is the only stop condition besides the fixed round
+    count, and it does not condition on the estimate."""
     import subprocess
 
     # sink to ramdisk when available: the measurement targets compute +
@@ -164,12 +155,9 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
         procs[(cores, split)] = p
     best: dict[tuple[int, str], float] = {k: float("inf") for k in procs}
     round_log: list[dict] = []
-    soft = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "300"))
     hard = float(os.environ.get("SPARK_GRAFT_SCALING_HARD_BUDGET_SEC", "540"))
-    # early stop needs a floor of full rounds: the scaling record AND
-    # the headline extract_full min both come from these samples, and a
-    # lucky first-round ratio must not cut min-of-N sampling short
-    min_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_ROUNDS", "4"))
+    if rounds is None:
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "8"))
     t0 = time.time()
 
     def run_round(keys) -> dict:
@@ -194,29 +182,9 @@ def _interleaved_times(levels: list[tuple[int, str]], corpus_path: str,
         return row
 
     for rnd in range(rounds):
-        elapsed = time.time() - t0
-        eff_now = 0.0
-        if primary:
-            eff_g, eff_m = _pair_efficiency(best, round_log, primary[0], primary[1])
-            eff_now = max(eff_g, eff_m)
-        if elapsed > hard and rnd > 0:
+        if time.time() - t0 > hard and rnd > 0:
             break
-        if elapsed > soft and eff_now >= gate and rnd >= min_rounds:
-            break  # record already clears the gate; stop burning clock
-        # past the soft budget with a failing record: sample only the
-        # primary pair — its rounds are ~2x cheaper than full rounds,
-        # doubling the chance of catching a quiet window before `hard`
-        keys = list(procs)
-        if primary and elapsed > soft and eff_now < primary[2]:
-            keys = [k for k in primary[0] if k in procs]
-        n_before = best[primary[0][0]] if primary else None
-        run_round(keys)
-        if primary and rnd + 1 >= min_rounds:
-            (k_n, k_4n), ratio, target = primary
-            eff_g, eff_m = _pair_efficiency(best, round_log, (k_n, k_4n), ratio)
-            n_stable = best[k_n] == n_before  # no improvement this round
-            if (n_stable and eff_g >= target) or eff_m >= target:
-                break
+        run_round(list(procs))
     # headline polish: the loop above optimizes for the SCALING record
     # and stops as soon as it clears; the full-box extract min (the
     # headline docs/sec) deserves a few extra cheap (~7-15 s) samples
@@ -258,10 +226,14 @@ def _pair_efficiency(best, round_log, pair, cores_ratio):
       have. At least two valid rounds are required for the estimate
       to count at all.
 
-    The recorded efficiency is max(global, matched-median): global-min
-    can only understate (its legs' weather is mismatched at most one
-    way that matters — quiet N / loud 4N), and the matched median is
-    robust to single flipped windows in both directions."""
+    The RECORDED efficiency is the matched-window median — chosen
+    up front (pre-registered), not post hoc: under the fixed sampling
+    plan it is the estimator robust to single flipped windows in both
+    directions. Global-min is reported alongside as a diagnostic and
+    is used only as a fallback when fewer than two valid matched
+    rounds exist (a crashed child). Recording max-of-both after
+    gate-conditioned stopping — the pre-r5 scheme — was flagged as
+    upward-biased in r4 ADVICE and is gone."""
     k_n, k_4n = pair
     eff_g = 0.0
     if best.get(k_n, float("inf")) < float("inf") and best.get(k_4n, float("inf")) < float("inf"):
@@ -313,13 +285,7 @@ def main() -> None:
     n_small = max(CPUS // 4, 1)
     levels = [(p, "2m") for p in sorted({lo_n, lo_4n, n_small, CPUS})]
     levels.append((CPUS, "8m"))
-    best, round_log = _interleaved_times(
-        levels,
-        corpus_path,
-        # stop target sits above the 0.8 gate so the recorded number
-        # carries margin; quiet windows measure 0.86-0.93 on this host
-        primary=(((lo_n, "2m"), (lo_4n, "2m")), lo_4n / lo_n, 0.84),
-    )
+    best, round_log = _interleaved_times(levels, corpus_path)
     # a crashed child leaves inf — fall back rather than emit Infinity
     times = {p: t for (p, s), t in best.items() if s == "2m"}
     t_head = best.get((CPUS, "8m"), float("inf"))
@@ -343,13 +309,15 @@ def main() -> None:
     eff_lo_g, eff_lo_m = _pair_efficiency(
         best, round_log, ((lo_n, "2m"), (lo_4n, "2m")), lo_4n / lo_n
     )
-    eff_primary = max(eff_lo_g, eff_lo_m)
+    # pre-registered estimator: matched-window median (global-min is a
+    # reported diagnostic / crash fallback — see _pair_efficiency)
+    eff_primary = eff_lo_m if eff_lo_m > 0.0 else eff_lo_g
     thr_n = BENCH_DOCS / t_small
     thr_4n = BENCH_DOCS / t_big
     eff_fb_g, eff_fb_m = _pair_efficiency(
         best, round_log, ((n_small, "2m"), (CPUS, "2m")), CPUS / n_small
     )
-    efficiency = max(eff_fb_g, eff_fb_m)
+    efficiency = eff_fb_m if eff_fb_m > 0.0 else eff_fb_g
 
     # --- full-table training-data-op probes (perf-only; the contract
     # queries bound their inputs for oracle parity, so dedup/ANN cost

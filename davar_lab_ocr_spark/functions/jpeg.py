@@ -556,8 +556,17 @@ def jpeg_decode(data: bytes) -> np.ndarray:
 
     h, w, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
-    hmax = max(hs for _, hs, _, _ in comps)
-    vmax = max(vs for _, _, vs, _ in comps)
+    if ns == 1:
+        # T.81 A.2.2: a 1-component scan is NON-interleaved — one 8x8
+        # block per MCU, row-major over the component's own block grid,
+        # SOF sampling factors ignored. A real grayscale JPEG may
+        # legally declare 2x2 factors; honoring them here (interleaved
+        # MCU order) scrambles block placement (r4 ADVICE). Since
+        # multi-component frames with 1-component scans are rejected
+        # above, the component's grid is the full-image grid.
+        by_id = {cid: (1, 1, tq) for cid, (_hs, _vs, tq) in by_id.items()}
+    hmax = max(hs for hs, _, _ in by_id.values())
+    vmax = max(vs for _, vs, _ in by_id.values())
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
 

@@ -226,7 +226,13 @@ def dup_clusters(
     edges give diameter <= 2 per cluster; chains of near-dups are
     short), so the loop exits after 2-4 cheap shuffles.
     localCheckpoint per iteration truncates the growing lineage (the
-    classic iterative-algorithm footgun at scale)."""
+    classic iterative-algorithm footgun at scale).
+
+    If a component's diameter exceeds ``max_iters`` the labels have
+    NOT converged — returning them silently would split one duplicate
+    cluster into several cluster_ids, so this raises RuntimeError
+    instead (r4 ADVICE). Raise ``max_iters`` for pathological chain
+    graphs; the default 20 covers any realistic dedup topology."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -258,8 +264,13 @@ def dup_clusters(
         changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"dup_clusters did not converge in max_iters={max_iters} label-propagation "
+        "rounds (component diameter exceeds the iteration budget); raise max_iters"
+    )
 
 
 def simhash(df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 from ..functions.geometry import (
     convex_poly_clip,
     convex_poly_intersection_area,
-    convex_union_area,
+    disjoint_group_union_area,
     even_odd_pieces,
     is_convex_poly,
     poly_area,
@@ -121,10 +121,12 @@ def _tiou_precision_term(
     1 - Ot/area(det), where Ot is the detection area overlapping OTHER
     ground-truth boxes (outlier area) net of the part already inside the
     matched gt. The reference's Polygon-library unions become
-    inclusion-exclusion over convex clips (convex_union_area); concave
-    polygons contribute their intersection PIECES (triangulation clips,
-    disjoint interiors within one polygon), which the union recursion
-    handles like any other convex operands.
+    inclusion-exclusion over GROUPS of convex clips
+    (disjoint_group_union_area) — one group per other-gt polygon, the
+    pieces within a group disjoint by construction (even-odd
+    decomposition x piece-pair clipping) — so the _UNION_EXACT_MAX
+    recursion cap counts source polygons, not clip pieces, and curved
+    many-point outlines stay on the exact path (r4 ADVICE).
 
     Quirk preserved: the reference's "other gt" loop does NOT skip
     don't-care polygons (only `i != gtNum`, hmean.py:140) — dontcare
@@ -132,21 +134,24 @@ def _tiou_precision_term(
     area_d = det_prep[2]
     if area_d <= 0 or union <= 0:
         return 0.0
-    in_det = []  # det n other_gt
-    in_det_and_gt = []  # det n matched_gt n other_gt
+    in_det = []  # one group per other gt: det n other_gt pieces
+    in_det_and_gt = []  # one group per other gt: det n matched_gt n other_gt
     for i, other in enumerate(gt_preps):
         if i == gt_idx:
             continue
         clips = _prep_inter_pieces(det_prep, other)
         if not clips:
             continue
-        in_det.extend(clips)
+        in_det.append(clips)
+        grp = []
         for clip in clips:
             for gp in gt_prep[1]:
                 both = convex_poly_clip(clip, gp)
                 if poly_area(both) > 0:
-                    in_det_and_gt.append(both)
-    ot = convex_union_area(in_det) - convex_union_area(in_det_and_gt)
+                    grp.append(both)
+        if grp:
+            in_det_and_gt.append(grp)
+    ot = disjoint_group_union_area(in_det) - disjoint_group_union_area(in_det_and_gt)
     if ot <= 1.0e-10:
         ot = 0.0
     f_ot = 1.0 if ot / area_d <= 0.01 else 1.0 - ot / area_d

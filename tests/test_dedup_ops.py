@@ -195,6 +195,23 @@ def test_dup_clusters_recovers_components(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10}
 
 
+def test_dup_clusters_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    from davar_lab_ocr_spark.operators.dedup import dup_clusters
+
+    # a 6-node chain has diameter 5; min-label propagation moves the
+    # label one hop per round, so max_iters=2 cannot converge — the
+    # loop must raise rather than silently return split clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a int, id_b int"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iters=2)
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(6)}
+
+
 def test_dup_clusters_closes_star_pairing(spark):
     from davar_lab_ocr_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
 

@@ -109,6 +109,38 @@ def test_union_area_cap_fallback_bounded_and_close():
     assert _UNION_EXACT_MAX >= 10
 
 
+def test_disjoint_group_union_area_exact_past_piece_cap():
+    import numpy as np
+
+    from davar_lab_ocr_spark.functions.geometry import (
+        _UNION_EXACT_MAX,
+        convex_union_area,
+        disjoint_group_union_area,
+    )
+
+    sq = lambda x0, y0, w=1.0, h=1.0: np.array(
+        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]], dtype=float
+    )
+    # singleton groups == flat recursion exactly
+    flats = [sq(0, 0, 2, 2), sq(1, 1, 2, 2), sq(0.5, 0.5)]
+    assert disjoint_group_union_area([[p] for p in flats]) == pytest.approx(
+        convex_union_area(flats), abs=1e-9
+    )
+    # 3 "curved outlines", each decomposed into 8 disjoint strips
+    # (24 pieces total — the FLAT recursion would raster past the
+    # cap); grouped it is 3 terms and must stay EXACT.
+    # outline k is the 8x1 rectangle [0,8]x[k*0.5, k*0.5+1]: the
+    # union of the 3 overlapping rectangles is 8 * (0.5+0.5+1) = 16
+    groups = [
+        [sq(i, 0.5 * k, 1.0, 1.0) for i in range(8)] for k in range(3)
+    ]
+    assert sum(len(g) for g in groups) > _UNION_EXACT_MAX
+    assert disjoint_group_union_area(groups) == pytest.approx(16.0, abs=1e-9)
+    # empty / degenerate groups drop out
+    assert disjoint_group_union_area([]) == pytest.approx(0.0)
+    assert disjoint_group_union_area([[np.zeros((0, 2))], [sq(0, 0)]]) == pytest.approx(1.0)
+
+
 def test_even_odd_pieces_bowtie_and_concave():
     import numpy as np
 

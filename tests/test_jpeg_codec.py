@@ -41,6 +41,26 @@ def test_gray_gradient_close_odd_dims():
     assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 10
 
 
+def test_gray_sampling_factors_ignored_noninterleaved():
+    """T.81 A.2.2: a 1-component scan decodes non-interleaved (one 8x8
+    block per MCU, row-major), SOF sampling factors ignored. Patch the
+    encoder's grayscale SOF component byte 0x11 -> 0x22: a compliant
+    decoder must produce identical pixels; the pre-r5 interleaved path
+    scrambled block placement (r4 ADVICE)."""
+    yy, xx = np.mgrid[0:32, 0:40]
+    img = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    data = jpeg_encode(img, quality=95)
+    # locate SOF0 (FF C0); component spec starts 10 bytes after marker:
+    # len(2) prec(1) h(2) w(2) ncomp(1) cid(1) -> hv byte
+    sof = data.index(b"\xff\xc0")
+    hv_at = sof + 2 + 8 + 1
+    assert data[hv_at] == 0x11
+    patched = data[:hv_at] + b"\x22" + data[hv_at + 1:]
+    base = jpeg_decode(data)
+    out = jpeg_decode(patched)
+    assert np.array_equal(out, base)
+
+
 def test_color_444_and_420_close():
     img = _smooth_rgb(45, 57)
     out444 = jpeg_decode(jpeg_encode(img, quality=95))
