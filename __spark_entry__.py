@@ -883,6 +883,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_decode_jpeg"] = media_decode_jpeg
 
+    def media_decode_variants(spark, sf):
+        # r5 codec surface: '.jpeg' refs carry PROGRESSIVE (SOF2) JPEG
+        # payloads, '.pal.png' refs paletted PNG (PLTE + optional tRNS
+        # -> 4 channels). verify_pixels=True forces the FULL entropy
+        # decode distributed (decode_ok asserts pixel shape == header);
+        # the oracle reproduces (h, w, c) from the md5-seeded generator
+        # formula, fully independent of both codecs
+        from davar_lab_ocr_spark.operators.multimodal import (
+            decode_media_stage,
+            fetch_media_stage,
+            resize_meta_cols,
+        )
+
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+        refs = d.select(
+            F.concat(
+                F.lit("media://doc/"),
+                F.col("doc_id").cast("string"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit(".jpeg")).otherwise(
+                    F.lit(".pal.png")
+                ),
+            ).alias("media_ref")
+        )
+        decoded = decode_media_stage(
+            fetch_media_stage(refs), verify_pixels=True
+        ).drop("payload")
+        return decoded.select(
+            "media_ref",
+            "m_height",
+            "m_width",
+            "m_channels",
+            "decode_ok",
+            *resize_meta_cols(F.col("m_height"), F.col("m_width")),
+        )
+
+    q["media_decode_variants"] = media_decode_variants
+
     def html_main_content(spark, sf):
         # synthesize boilerplate-wrapped pages from documents, then
         # strip back to main content — expected spans derive from the
@@ -1201,33 +1238,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness rows for the FIRST 50 entries; the
     # out-of-window tail ROTATES each round so every registered query
     # has a driver row at most one round old (VERDICT r3 next-round #8).
-    # Round 4 tail (13 entries; EVERY one driver-green in r3's window,
-    # so nothing is ever more than one round stale): the r3 tail swaps
-    # back into the window, and r4's six NEW queries (media_decode_jpeg,
-    # ref_det_eval, ctw_det_eval, spot_e2e_eval, conll_ner_decode,
-    # dedup_clusters) plus the rotated-in seven take the 13 slots.
-    # Family pinning for the rotated-out set: the media path is pinned
-    # by media_decode/media_decode_jpeg; hmean matching by
-    # det_hmean_fixture + the THREE published-numbers det/e2e goldens;
-    # e2e transcription rules by spot_e2e_eval; NER by conll_ner_decode;
-    # table html by the PubTabNet pytest golden + teds fixtures'
-    # committed parquet (unchanged round to round); span
-    # assembly/ordering by flagship/full-chain/resumable; the IE/video
-    # families by kv_pairing/session_tracks in-window.
+    # Round 5 tail (14 entries; EVERY one driver-green in r4's window,
+    # CORRECTNESS_r04, so nothing is ever more than one round stale):
+    # the whole r4 tail rotates back into the window along with the one
+    # NEW query (media_decode_variants), pushing 14 r4-green entries
+    # out. Family pinning for the rotated-out set: the media/codec path
+    # is pinned by media_decode_variants (progressive JPEG + paletted
+    # PNG with full pixel decode) and media_transform in-window; text
+    # stats by token_stats/quality_score/repetition_stats/
+    # tokenize_spans; dedup by exact_dedup/ngram_jaccard/minhash_lsh/
+    # dedup_clusters; ANN by embedding_topk/ann_lsh; ranking metrics by
+    # ap_sweep/map_sweep; ordering by flagship/pointer_reading_order;
+    # simple filters by corpus_filter.
     tail = [
-        "vocab_correct",
-        "care_anti_join",
-        "order_accuracy",
-        "table_html_recovery",
-        "mask_rcnn_decode",
-        "media_transform",
-        "e2e_hmean_fixture",
-        "track_merge",
-        "teds_metric",
-        "tree_f1_metric",
-        "ner_decode",
-        "tp_decode",
-        "pointer_reading_order",
+        "media_decode",
+        "media_decode_jpeg",
+        "lang_id",
+        "bpe_token_stats",
+        "doc_fingerprint",
+        "text_normalize",
+        "simhash",
+        "embedding_near_dup",
+        "ann_multiprobe",
+        "lsh_bucket_histogram",
+        "top_orders_per_customer",
+        "recall_at_k",
+        "recognition_metrics",
+        "poly_rect",
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     assert len(ordered) <= 50, f"driver window overflow: {len(ordered)} primary queries"
@@ -2052,6 +2089,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM meta
             )
             SELECT media_ref, m_height, m_width, m_channels,
+                   CAST(round(m_height * scale) AS int) AS resized_h,
+                   CAST(round(m_width * scale) AS int) AS resized_w,
+                   round(scale, 8) AS scale_factor
+            FROM scaled
+        """,
+        # r5 variants: progressive JPEG ('.jpeg', even doc_id) and
+        # paletted PNG ('.pal.png', odd doc_id). Channels: progressive
+        # follows the JPEG c-in-{1,3} formula on digest byte 2; palette
+        # decodes to 4 channels when digest byte 4 is even (tRNS alpha
+        # emitted) else 3. decode_ok is the full-pixel-decode assertion
+        # (TRUE for every payload — the generator only emits supported
+        # shapes); dims from the same md5 arithmetic
+        "media_decode_variants": """
+            WITH refs AS (
+                SELECT 'media://doc/' || CAST(doc_id AS varchar) ||
+                       CASE WHEN doc_id % 2 = 0 THEN '.jpeg' ELSE '.pal.png' END
+                       AS media_ref,
+                       doc_id % 2 = 0 AS is_jpeg
+                FROM documents WHERE doc_id < 120
+            ),
+            meta AS (
+                SELECT media_ref,
+                       32 + ('0x' || substr(md5(media_ref), 1, 2))::int % 96 AS m_height,
+                       32 + ('0x' || substr(md5(media_ref), 3, 2))::int % 96 AS m_width,
+                       CASE WHEN is_jpeg THEN
+                            CASE WHEN ('0x' || substr(md5(media_ref), 5, 2))::int % 2 = 0
+                                 THEN 1 ELSE 3 END
+                       ELSE
+                            CASE WHEN ('0x' || substr(md5(media_ref), 9, 2))::int % 2 = 0
+                                 THEN 4 ELSE 3 END
+                       END AS m_channels,
+                       TRUE AS decode_ok
+                FROM refs
+            ),
+            scaled AS (
+                SELECT *,
+                       least(1280.0 / greatest(m_height, m_width),
+                             720.0 / least(m_height, m_width)) AS scale
+                FROM meta
+            )
+            SELECT media_ref, m_height, m_width, m_channels, decode_ok,
                    CAST(round(m_height * scale) AS int) AS resized_h,
                    CAST(round(m_width * scale) AS int) AS resized_w,
                    round(scale, 8) AS scale_factor

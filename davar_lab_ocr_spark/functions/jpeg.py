@@ -410,6 +410,317 @@ def jpeg_encode(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (fixture generator for the SOF2 decode path)
+# ---------------------------------------------------------------------------
+def _component_coefs(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """8-multiple plane -> (by, bx, 64) int32 ZIGZAG quantized
+    coefficients, batched forward DCT (one einsum, no per-block loop)."""
+    byn, bxn = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(byn, 8, bxn, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,kl->abil", _T, blocks - 128.0, _T.T)
+    q = np.round(coef.reshape(byn, bxn, 64) / quant.reshape(64)).astype(np.int32)
+    return q[:, :, ZIGZAG]
+
+
+class _SymCounter:
+    """Prepass emitter: records which Huffman symbols a scan needs."""
+
+    def __init__(self):
+        self.seen = set()
+
+    def sym(self, s: int) -> None:
+        self.seen.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _SymEmitter:
+    """Second-pass emitter: symbols through a per-scan Huffman code,
+    raw bits straight to the writer."""
+
+    def __init__(self, codes, bw: _BitWriter):
+        self.codes = codes
+        self.bw = bw
+
+    def sym(self, s: int) -> None:
+        code, length = self.codes[s]
+        self.bw.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+def _flat_table(symbols: set) -> tuple[list[int], list[int]]:
+    """(bits, vals) DHT spec assigning every symbol an 8-bit code —
+    valid canonical Huffman for <= 254 distinct symbols, which a
+    progressive scan never exceeds."""
+    vals = sorted(symbols)
+    if len(vals) > 254:
+        raise ValueError("too many symbols for the flat table")
+    bits = [0] * 16
+    bits[7] = len(vals)
+    return bits, vals
+
+
+def _scan_dc_first(em, blocks_iter, coefs, al, preds):
+    for cs, blk in blocks_iter():
+        v = int(blk[0]) >> al  # DC point transform: arithmetic shift
+        diff = v - preds[cs]
+        preds[cs] = v
+        t = _category(diff)
+        em.sym(t)
+        em.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _scan_dc_refine(em, blocks_iter, al):
+    for _cs, blk in blocks_iter():
+        em.bits((int(blk[0]) >> al) & 1, 1)
+
+
+def _scan_ac_first(em, blocks_iter, ss, se, al):
+    state = {"eobrun": 0}
+
+    def flush_eob():
+        n = state["eobrun"]
+        if n:
+            r = n.bit_length() - 1
+            em.sym(r << 4)
+            em.bits(n - (1 << r), r)
+            state["eobrun"] = 0
+
+    for _cs, blk in blocks_iter():
+        band = [int(v) for v in blk[ss:se + 1]]
+        shifted = [
+            (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
+        ]  # AC point transform shifts the MAGNITUDE (G.1.2.2)
+        nz = [i for i, v in enumerate(shifted) if v != 0]
+        if not nz:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = shifted[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                em.sym(0xF0)
+                run -= 16
+            t = _category(v)
+            em.sym((run << 4) | t)
+            em.bits(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if nz[-1] < len(shifted) - 1:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _scan_ac_refine(em, blocks_iter, ss, se, al):
+    """G.1.2.3 encode: correction bits for history-nonzero
+    coefficients buffer behind the pending EOB run / ZRL / new-coef
+    symbol exactly as the decoder will consume them."""
+    state = {"eobrun": 0, "be": []}
+
+    def flush_eob():
+        if state["eobrun"]:
+            r = state["eobrun"].bit_length() - 1
+            em.sym(r << 4)
+            em.bits(state["eobrun"] - (1 << r), r)
+            state["eobrun"] = 0
+            for b in state["be"]:
+                em.bits(b, 1)
+            state["be"] = []
+
+    for _cs, blk in blocks_iter():
+        band = [int(v) for v in blk[ss:se + 1]]
+        mags = [abs(v) >> al for v in band]
+        eobpos = max((i for i, m in enumerate(mags) if m == 1), default=-1)
+        run = 0
+        br: list[int] = []
+        for i, m in enumerate(mags):
+            if m == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eobpos:
+                flush_eob()
+                em.sym(0xF0)
+                run -= 16
+                for b in br:
+                    em.bits(b, 1)
+                br = []
+            if m > 1:  # history-nonzero: one correction bit
+                br.append(m & 1)
+                continue
+            # m == 1: newly nonzero at this approximation level
+            flush_eob()
+            em.sym((run << 4) | 1)
+            em.bits(1 if band[i] >= 0 else 0, 1)
+            for b in br:
+                em.bits(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            state["eobrun"] += 1
+            state["be"].extend(br)
+            if state["eobrun"] == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray, quality: int = 90, subsample: int = 1
+) -> bytes:
+    """uint8 (h, w[, 1|3]) -> progressive (SOF2) JFIF bytes.
+
+    Scan script (the common spectral-selection x successive-
+    approximation shape real encoders emit): interleaved DC first at
+    Al=1; per-component AC bands 1-5 and 6-63 first at Al=1; DC
+    refinement to Al=0; per-component AC refinements of both bands to
+    Al=0. Each entropy scan gets its own flat Huffman table via a
+    symbol-collecting prepass (DHT redefinition between scans is part
+    of the format and exercises the decoder's table handling).
+    Quantized coefficients are identical to jpeg_encode's, so a
+    progressive roundtrip must reproduce the baseline roundtrip
+    pixel-for-pixel."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if nch not in (1, 3):
+        raise NotImplementedError(f"JPEG supports 1 or 3 components, got {nch}")
+    if subsample not in (1, 2):
+        raise NotImplementedError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    if nch == 1:
+        subsample = 1
+
+    qluma = _scaled_quant(QUANT_LUMA, quality)
+    qchroma = _scaled_quant(QUANT_CHROMA, quality)
+    if nch == 3:
+        ycc = _rgb_to_ycbcr(arr)
+        y = _pad_edge(ycc[..., 0], 8 * subsample, 8 * subsample)
+        cb_full = _pad_edge(ycc[..., 1], 8 * subsample, 8 * subsample)
+        cr_full = _pad_edge(ycc[..., 2], 8 * subsample, 8 * subsample)
+        if subsample == 2:
+            cb = cb_full.reshape(
+                cb_full.shape[0] // 2, 2, cb_full.shape[1] // 2, 2
+            ).mean(axis=(1, 3))
+            cr = cr_full.reshape(
+                cr_full.shape[0] // 2, 2, cr_full.shape[1] // 2, 2
+            ).mean(axis=(1, 3))
+        else:
+            cb, cr = cb_full, cr_full
+        planes = [y, cb, cr]
+        quants = [qluma, qchroma, qchroma]
+        samp = [(subsample, subsample), (1, 1), (1, 1)]
+        comps = [(1, subsample, subsample, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        planes = [_pad_edge(arr[..., 0].astype(np.float64), 8, 8)]
+        quants = [qluma]
+        samp = [(1, 1)]
+        comps = [(1, 1, 1, 0)]
+
+    coefs = {
+        comps[i][0]: _component_coefs(planes[i], quants[i])
+        for i in range(len(comps))
+    }
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    out = bytearray()
+    out += SOI
+    jfif = b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+    dqt = b"\x00" + bytes(int(v) for v in qluma[ZIGZAG])
+    if nch == 3:
+        dqt += b"\x01" + bytes(int(v) for v in qchroma[ZIGZAG])
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    all_ids = [c[0] for c in comps]
+    script = [("dc_first", all_ids, 0, 0, 0, 1)]
+    for cid in all_ids:
+        script.append(("ac_first", [cid], 1, 5, 0, 1))
+        script.append(("ac_first", [cid], 6, 63, 0, 1))
+    script.append(("dc_refine", all_ids, 0, 0, 1, 0))
+    for cid in all_ids:
+        script.append(("ac_refine", [cid], 1, 5, 1, 0))
+        script.append(("ac_refine", [cid], 6, 63, 1, 0))
+
+    by_id = {cid: (hs, vs) for cid, hs, vs, _ in comps}
+
+    def blocks_iter_for(scan_ids):
+        if len(scan_ids) > 1:  # interleaved MCU order
+            def it():
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for cid in scan_ids:
+                            hs, vs = by_id[cid]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    yield cid, coefs[cid][
+                                        my * vs + by, mx * hs + bx
+                                    ]
+            return it
+        cid = scan_ids[0]
+        hs, vs = by_id[cid]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+
+        def it():
+            for bri in range((ch + 7) // 8):
+                for bci in range((cw + 7) // 8):
+                    yield cid, coefs[cid][bri, bci]
+        return it
+
+    def run_scan(kind, em, it, ss, se, al, preds):
+        if kind == "dc_first":
+            _scan_dc_first(em, it, coefs, al, preds)
+        elif kind == "dc_refine":
+            _scan_dc_refine(em, it, al)
+        elif kind == "ac_first":
+            _scan_ac_first(em, it, ss, se, al)
+        else:
+            _scan_ac_refine(em, it, ss, se, al)
+
+    for kind, scan_ids, ss, se, ah, al in script:
+        it = blocks_iter_for(scan_ids)
+        counter = _SymCounter()
+        run_scan(kind, counter, it, ss, se, al, {c: 0 for c in scan_ids})
+        if counter.seen:  # DHT for this scan's symbols (class by kind)
+            bits, vals = _flat_table(counter.seen)
+            tc = 0x00 if kind.startswith("dc") else 0x10
+            dht = bytes([tc]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+            codes = _build_codes(bits, vals)
+        else:
+            codes = {}
+        sos = bytes([len(scan_ids)])
+        for cid in scan_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        run_scan(kind, _SymEmitter(codes, bw), it, ss, se, al,
+                 {c: 0 for c in scan_ids})
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 def jpeg_meta(data: bytes) -> tuple[int, int, int]:
@@ -427,9 +738,9 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
             continue
         seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            if marker not in (0xC0, 0xC1):
+            if marker not in (0xC0, 0xC1, 0xC2):
                 raise NotImplementedError(
-                    f"only baseline sequential JPEG supported (SOF{marker - 0xC0})"
+                    f"only baseline/progressive Huffman JPEG supported (SOF{marker - 0xC0})"
                 )
             _, h, w, ncomp = struct.unpack(">BHHB", data[pos + 4:pos + 10])
             return h, w, ncomp
@@ -437,53 +748,193 @@ def jpeg_meta(data: bytes) -> tuple[int, int, int]:
     raise ValueError("no frame header found")
 
 
-def _decode_mcu_grid(data, reader, order, planes, preds, mcus_x, mcus_y,
-                     restart_interval):
-    """Interleaved-MCU entropy decode into the component planes."""
+def _decode_dc_first(reader, blk, dct, pred: int, al: int) -> int:
+    """DC coefficient, first scan (T.81 F.2.2.1 / G.1.2.1): diff-coded
+    prediction, point transform undone by << Al."""
+    t = _read_symbol(reader, dct)
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    pred += diff
+    blk[0] = pred << al
+    return pred
+
+
+def _decode_ac_first(reader, blk, act, ss: int, se: int, al: int,
+                     eobrun: int) -> int:
+    """AC band [ss, se], first scan (F.2.2.2 / G.1.2.2): run-length +
+    EOBn end-of-band runs. Returns the remaining EOB run (blocks whose
+    band is entirely zero at this level, current block excluded)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(reader, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: current block is a member
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(reader, blk, act, ss: int, se: int, al: int,
+                      eobrun: int) -> int:
+    """AC band [ss, se], successive-approximation refinement scan
+    (T.81 G.1.2.3 decode procedure): correction bits for
+    already-nonzero coefficients interleaved with run-length-placed
+    new +-1<<Al coefficients; EOBn runs carry the correction bits of
+    the blocks they cover."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r  # full count: current block's
+                    if r:            # corrections are handled below
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: 16 zero-history positions, no placement
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(data, pos, frame, scan, ss, se, ah, al, coefs,
+                 huff_dc, huff_ac, restart_interval, mcus_x, mcus_y,
+                 hmax, vmax) -> int:
+    """Entropy-decode one scan into the per-component zigzag
+    coefficient arrays; returns the stream offset of the next marker.
+    Handles interleaved (ns > 1) MCU order and non-interleaved
+    single-component order (T.81 A.2.2: one block per MCU, sampling
+    factors ignored), restart markers (DC predictors AND the EOB run
+    reset), and all four progressive scan kinds."""
+    h, w, comps = frame
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    reader = _BitReader(data, pos)
+    preds = {cs: 0 for cs, _, _ in scan}
+    state = {"eobrun": 0}
+
+    def decode_block(blk, cs, td, ta):
+        if ah == 0:
+            if ss == 0:
+                preds[cs] = _decode_dc_first(reader, blk, huff_dc[td],
+                                             preds[cs], al)
+            if se >= 1 and se >= ss:
+                state["eobrun"] = _decode_ac_first(
+                    reader, blk, huff_ac[ta], max(ss, 1), se, al,
+                    state["eobrun"])
+        else:
+            if ss == 0:
+                if reader.read_bit():
+                    blk[0] |= 1 << al
+            else:
+                state["eobrun"] = _decode_ac_refine(
+                    reader, blk, huff_ac[ta], ss, se, al, state["eobrun"])
+
+    def handle_restart(count):
+        if restart_interval and count and count % restart_interval == 0:
+            reader.byte_align()
+            if not (data[reader.pos] == 0xFF
+                    and 0xD0 <= data[reader.pos + 1] <= 0xD7):
+                raise ValueError("expected restart marker")
+            reader.pos += 2
+            for cs in preds:
+                preds[cs] = 0
+            state["eobrun"] = 0
+
     mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.byte_align()
-                if not (data[reader.pos] == 0xFF and 0xD0 <= data[reader.pos + 1] <= 0xD7):
-                    raise ValueError("expected restart marker")
-                reader.pos += 2
-                preds = [0] * len(order)
-            for oi, (pi, hs, vs, q, dct, act) in enumerate(order):
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = _read_symbol(reader, dct)
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        preds[oi] += diff
-                        zz[0] = preds[oi]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(reader, act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        # zz is zigzag-ordered; q is natural-order:
-                        # reorder FIRST, then dequantize elementwise
-                        coef = (zz[UNZIG] * q).reshape(8, 8)
-                        block = _T.T @ coef @ _T + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[pi][y0:y0 + 8, x0:x0 + 8] = block
-            mcu_count += 1
+    if len(scan) > 1:  # interleaved MCU order
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                handle_restart(mcu_count)
+                mcu_count += 1
+                for cs, td, ta in scan:
+                    hs, vs, _ = by_id[cs]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            decode_block(
+                                coefs[cs][my * vs + by, mx * hs + bx],
+                                cs, td, ta)
+    else:  # non-interleaved: the component's own block grid, row-major
+        cs, td, ta = scan[0]
+        hs, vs, _ = by_id[cs]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        for bri in range((ch + 7) // 8):
+            for bci in range((cw + 7) // 8):
+                handle_restart(mcu_count)
+                mcu_count += 1
+                decode_block(coefs[cs][bri, bci], cs, td, ta)
+
+    # skip padding bits / stray RSTs to the next real marker
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated JPEG: no marker after scan")
+
+
+def _blocks_to_plane(zz_blocks: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) zigzag coefficients -> (by*8, bx*8) float plane:
+    de-zigzag, dequantize, batched inverse DCT (one einsum for every
+    block in the component — no per-block Python loop)."""
+    by, bx, _ = zz_blocks.shape
+    nat = zz_blocks[:, :, UNZIG].astype(np.float64) * qtab.reshape(64).astype(
+        np.float64
+    )
+    nat = nat.reshape(by, bx, 8, 8)
+    pix = np.einsum("ij,abjk,kl->abil", _T.T, nat, _T) + 128.0
+    return pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 (h, w, c) array (c=1 gray, c=3 RGB)."""
+    """JFIF bytes -> uint8 (h, w, c) array (c=1 gray, c=3 RGB).
+
+    Sequential baseline (SOF0/SOF1) and progressive (SOF2) Huffman
+    streams: every scan — interleaved or non-interleaved, spectral
+    band [Ss, Se], successive approximation Ah/Al — entropy-decodes
+    into per-component zigzag coefficient arrays; dequantization +
+    inverse DCT run ONCE at the end as a batched einsum over all
+    blocks. A baseline image is simply the one-scan special case
+    (Ss=0, Se=63, Ah=Al=0) of the same machinery."""
     if not data.startswith(SOI):
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -492,20 +943,30 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    coefs: dict[int, np.ndarray] | None = None
+    geom = None  # (hmax, vmax, mcus_x, mcus_y)
+    scans_seen = 0
 
     while True:
         if pos + 2 > len(data):
+            if scans_seen:
+                break  # missing EOI after a complete scan: tolerate
             raise ValueError("truncated JPEG: no SOS")
         if data[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("no scan data")
+        if marker == 0xD9:  # EOI
+            if not scans_seen:
+                raise ValueError("no scan data")
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         seglen = struct.unpack(">H", data[pos:pos + 2])[0]
         seg = data[pos + 2:pos + seglen]
+        if len(seg) != max(seglen - 2, 0):
+            raise ValueError("truncated JPEG segment")
         pos += seglen
         if marker == 0xDB:  # DQT
             i = 0
@@ -518,7 +979,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 q[ZIGZAG] = tab  # stored zigzag -> natural order
                 quant[tq] = q
                 i += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (redefinable between scans)
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
@@ -529,10 +990,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack(">BBB", seg[6 + 3 * c:9 + 3 * c])
@@ -540,7 +1002,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif 0xC0 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
             raise NotImplementedError(
-                f"only baseline sequential JPEG supported (SOF{marker - 0xC0})"
+                f"only baseline/progressive Huffman JPEG supported (SOF{marker - 0xC0})"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -550,49 +1012,54 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
-            if ns != len(frame[2]):
-                raise NotImplementedError("non-interleaved multi-scan JPEG")
-            break
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            else:
+                if ns != len(frame[2]):
+                    raise NotImplementedError("non-interleaved multi-scan JPEG")
+                ss, se, ah, al = 0, 63, 0, 0
+            h, w, comps = frame
+            if coefs is None:
+                hmax = max(hs for _, hs, _, _ in comps)
+                vmax = max(vs for _, _, vs, _ in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                geom = (hmax, vmax, mcus_x, mcus_y)
+                coefs = {
+                    cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), np.int32)
+                    for cid, hs, vs, _tq in comps
+                }
+            by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+            for cs, td, ta in scan:
+                if cs not in by_id:
+                    raise ValueError("scan references an unknown component")
+                needs_dc = ss == 0 and ah == 0
+                needs_ac = se >= 1
+                if (needs_dc and td not in huff_dc) or (
+                    needs_ac and ta not in huff_ac
+                ):
+                    raise ValueError("scan references a missing DQT/DHT table")
+            hmax, vmax, mcus_x, mcus_y = geom
+            try:
+                pos = _decode_scan(
+                    data, pos, frame, scan, ss, se, ah, al, coefs,
+                    huff_dc, huff_ac, restart_interval, mcus_x, mcus_y,
+                    hmax, vmax,
+                )
+            except _MarkerReached as exc:
+                raise ValueError("truncated JPEG entropy stream") from exc
+            except IndexError as exc:
+                raise ValueError("truncated JPEG data") from exc
+            scans_seen += 1
 
     h, w, comps = frame
-    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
-    if ns == 1:
-        # T.81 A.2.2: a 1-component scan is NON-interleaved — one 8x8
-        # block per MCU, row-major over the component's own block grid,
-        # SOF sampling factors ignored. A real grayscale JPEG may
-        # legally declare 2x2 factors; honoring them here (interleaved
-        # MCU order) scrambles block placement (r4 ADVICE). Since
-        # multi-component frames with 1-component scans are rejected
-        # above, the component's grid is the full-image grid.
-        by_id = {cid: (1, 1, tq) for cid, (_hs, _vs, tq) in by_id.items()}
-    hmax = max(hs for hs, _, _ in by_id.values())
-    vmax = max(vs for _, vs, _ in by_id.values())
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-
-    order = []  # (plane_idx, hs, vs, quant, dc_table, ac_table)
-    planes = []
-    for cs, td, ta in scan:
-        hs, vs, tq = by_id[cs]
-        if tq not in quant or td not in huff_dc or ta not in huff_ac:
-            raise ValueError("scan references a missing DQT/DHT table")
-        planes.append(np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64))
-        order.append((len(planes) - 1, hs, vs, quant[tq], huff_dc[td], huff_ac[ta]))
-
-    reader = _BitReader(data, pos)
-    preds = [0] * len(order)
-    try:
-        _decode_mcu_grid(data, reader, order, planes, preds, mcus_x, mcus_y,
-                         restart_interval)
-    except _MarkerReached as exc:
-        raise ValueError("truncated JPEG entropy stream") from exc
-    except IndexError as exc:
-        raise ValueError("truncated JPEG data") from exc
-
-    # upsample to full grid, crop, color convert
+    hmax, vmax, _, _ = geom
     full = []
-    for (pi, hs, vs, _, _, _) in order:
-        p = planes[pi]
+    for cid, hs, vs, tq in comps:
+        if tq not in quant:
+            raise ValueError("scan references a missing DQT/DHT table")
+        p = _blocks_to_plane(coefs[cid], quant[tq])
         if hs != hmax or vs != vmax:
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])

@@ -1,17 +1,25 @@
 """Pure-stdlib PNG codec — no PIL/cv2 in this environment.
 
 Decode (the real codec boundary for media payloads): non-interlaced
-8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
-6 (RGBA), all five row filters (None/Sub/Up/Average/Paeth) per the
-public PNG specification (RFC 2083 §6.2-6.6). Filters None/Sub/Up
-unfilter fully vectorized (Sub is a mod-256 prefix sum along x);
-Average/Paeth need the reconstructed left neighbor, so those rows fall
-back to an x-loop vectorized across channels — our own encoder emits
-filter 0, so the hot path never takes it.
+color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at 8-bit
+depth, and 3 (palette, PLTE + optional tRNS alpha) at depths
+1/2/4/8 — the full sub-byte ladder, since paletted web PNGs are
+commonly 4-bit or less. All five row filters (None/Sub/Up/Average/
+Paeth) per the public PNG specification (RFC 2083 §6.2-6.6); the
+filter operates on BYTES with the unit bpp = max(1, channels *
+depth / 8), so sub-byte palette rows filter with bpp=1 (spec §6.2).
+Filters None/Sub/Up unfilter fully vectorized (Sub is a mod-256
+prefix sum along x); Average/Paeth need the reconstructed left
+neighbor, so those rows fall back to an x-loop vectorized across the
+filter unit — our own encoder emits filter 0, so the hot path never
+takes it. Palette images decode to RGB (or RGBA when tRNS is
+present) via a vectorized palette gather.
 
-Encode (fixture generator): any single filter type per image, one IDAT,
-CRC via zlib.crc32. Interlacing, 16-bit depth, and palette images are
-out of scope (raise NotImplementedError, honestly gated).
+Encode (fixture generator): truecolor/gray via png_encode (any single
+filter type per image, one IDAT), paletted via png_encode_palette
+(PLTE + optional tRNS, sub-byte packing). CRC via zlib.crc32.
+Interlacing (Adam7) and 16-bit depth are out of scope (raise
+NotImplementedError, honestly gated).
 """
 
 from __future__ import annotations
@@ -100,9 +108,8 @@ def _iter_chunks(data: bytes):
             break
 
 
-def png_meta(data: bytes) -> tuple[int, int, int]:
-    """(height, width, channels) from IHDR alone — no inflate; the
-    cheap path for metadata-only decode stages."""
+def _parse_ihdr(data: bytes) -> tuple[int, int, int, int, int]:
+    """-> (h, w, depth, color, interlace), gated to supported shapes."""
     if not data.startswith(MAGIC):
         raise ValueError("not a PNG")
     for tag, payload in _iter_chunks(data):
@@ -110,54 +117,175 @@ def png_meta(data: bytes) -> tuple[int, int, int]:
             w, h, depth, color, _comp, _filt, inter = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or inter != 0 or color not in _COLOR_CHANNELS:
+            if inter != 0:
+                raise NotImplementedError("Adam7-interlaced PNG")
+            if color == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise NotImplementedError(f"palette PNG depth {depth}")
+            elif color not in _COLOR_CHANNELS or depth != 8:
                 raise NotImplementedError(
                     f"unsupported PNG shape (depth={depth} color={color} interlace={inter})"
                 )
-            return h, w, _COLOR_CHANNELS[color]
+            return h, w, depth, color, inter
     raise ValueError("PNG missing IHDR")
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """PNG bytes -> (h, w, c) uint8 array."""
-    h, w, c = png_meta(data)
-    idat = b"".join(payload for tag, payload in _iter_chunks(data) if tag == b"IDAT")
-    raw = zlib.decompress(idat)
-    stride = w * c
+def png_meta(data: bytes) -> tuple[int, int, int]:
+    """(height, width, channels) without inflating any IDAT — the
+    cheap path for metadata-only decode stages. Paletted images report
+    their POST-gather channel count (3, or 4 when a tRNS chunk adds
+    per-entry alpha), matching png_decode's output shape."""
+    h, w, depth, color, _ = _parse_ihdr(data)
+    if color != 3:
+        return h, w, _COLOR_CHANNELS[color]
+    has_trns = any(tag == b"tRNS" for tag, _ in _iter_chunks(data))
+    return h, w, 4 if has_trns else 3
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the per-row byte filters -> (h, stride) uint8 matrix.
+    ``bpp`` is the filter unit in bytes (spec §6.2: sub-byte depths
+    filter with bpp=1); ``stride`` is always a multiple of bpp."""
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size mismatch")
-    out = np.zeros((h, w, c), np.uint8)
-    prev = np.zeros((w, c), np.uint8)
+    units = stride // bpp
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
     for y in range(h):
         base = y * (stride + 1)
         ft = raw[base]
-        line = (
-            np.frombuffer(raw, np.uint8, stride, base + 1).reshape(w, c).copy()
-        )
+        line = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
         if ft == 0:
             row = line
-        elif ft == 1:  # Sub: mod-256 prefix sum along x
-            row = (np.cumsum(line.astype(np.uint64), axis=0) & 0xFF).astype(np.uint8)
+        elif ft == 1:  # Sub: mod-256 prefix sum over bpp-units along x
+            u = line.reshape(units, bpp)
+            row = (
+                (np.cumsum(u.astype(np.uint64), axis=0) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
         elif ft == 2:  # Up
             row = line + prev
         elif ft == 3:  # Average: needs reconstructed left -> x-loop
-            row = np.zeros_like(line)
-            left = np.zeros(c, np.uint16)
-            for x in range(w):
-                row[x] = line[x] + ((left + prev[x].astype(np.uint16)) // 2).astype(
-                    np.uint8
-                )
-                left = row[x].astype(np.uint16)
+            lineu = line.reshape(units, bpp)
+            prevu = prev.reshape(units, bpp)
+            rowu = np.zeros_like(lineu)
+            left = np.zeros(bpp, np.uint16)
+            for x in range(units):
+                rowu[x] = lineu[x] + (
+                    (left + prevu[x].astype(np.uint16)) // 2
+                ).astype(np.uint8)
+                left = rowu[x].astype(np.uint16)
+            row = rowu.reshape(stride)
         elif ft == 4:  # Paeth: needs reconstructed left -> x-loop
-            row = np.zeros_like(line)
-            left = np.zeros(c, np.uint8)
-            ul = np.zeros(c, np.uint8)
-            for x in range(w):
-                row[x] = line[x] + _paeth(left, prev[x], ul)
-                left = row[x]
-                ul = prev[x]
+            lineu = line.reshape(units, bpp)
+            prevu = prev.reshape(units, bpp)
+            rowu = np.zeros_like(lineu)
+            left = np.zeros(bpp, np.uint8)
+            ul = np.zeros(bpp, np.uint8)
+            for x in range(units):
+                rowu[x] = lineu[x] + _paeth(left, prevu[x], ul)
+                left = rowu[x]
+                ul = prevu[x]
+            row = rowu.reshape(stride)
         else:
             raise ValueError(f"bad row filter {ft}")
         out[y] = row
         prev = row
     return out
+
+
+def _unpack_indices(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride) filtered-out palette bytes -> (h, w) index array,
+    MSB-first sub-byte unpacking per spec §2.3."""
+    if depth == 8:
+        return rows[:, :w]
+    bits = np.unpackbits(rows, axis=1)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    idx = bits.reshape(rows.shape[0], -1, depth) @ weights
+    return idx[:, :w].astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, c) uint8 array. Paletted images come back
+    as RGB after the PLTE gather, or RGBA when tRNS supplies
+    per-palette-entry alpha (missing tail entries default opaque,
+    spec §4.2.1.1)."""
+    h, w, depth, color, _ = _parse_ihdr(data)
+    idat = b"".join(payload for tag, payload in _iter_chunks(data) if tag == b"IDAT")
+    raw = zlib.decompress(idat)
+    if color == 3:
+        plte = next(
+            (payload for tag, payload in _iter_chunks(data) if tag == b"PLTE"), None
+        )
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        trns = next(
+            (payload for tag, payload in _iter_chunks(data) if tag == b"tRNS"), None
+        )
+        stride = (w * depth + 7) // 8
+        idx = _unpack_indices(_unfilter(raw, h, stride, 1), w, depth)
+        if idx.max(initial=0) >= len(palette):
+            raise ValueError("palette index out of range")
+        rgb = palette[idx]  # vectorized gather -> (h, w, 3)
+        if trns is None:
+            return rgb
+        alpha = np.full(len(palette), 255, np.uint8)
+        alpha[: min(len(trns), len(palette))] = np.frombuffer(
+            trns[: len(palette)], np.uint8
+        )
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    c = _COLOR_CHANNELS[color]
+    return _unfilter(raw, h, w * c, c).reshape(h, w, c)
+
+
+def png_encode_palette(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    depth: int = 8,
+    filter_type: int = 0,
+) -> bytes:
+    """Fixture generator for color-type-3 PNGs: (h, w) uint8 index
+    array + (n, 3) palette (+ optional (n,) alpha) -> PNG bytes with
+    sub-byte packing at ``depth`` in 1/2/4/8."""
+    idx = np.ascontiguousarray(idx, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth}")
+    if idx.max(initial=0) >= min(len(palette), 1 << depth):
+        raise ValueError("palette index out of range for depth/palette")
+    h, w = idx.shape
+    if depth == 8:
+        rows = idx
+    else:
+        per = 8 // depth
+        padded = np.zeros((h, ((w + per - 1) // per) * per), np.uint8)
+        padded[:, :w] = idx
+        shifts = np.arange(depth - 1, -1, -1)  # MSB-first bit order
+        bits = ((padded.reshape(h, -1, 1) >> shifts) & 1).astype(np.uint8)
+        rows = np.packbits(bits.reshape(h, -1), axis=1)
+    stride = rows.shape[1]
+    raw = bytearray()
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        line = rows[y]
+        if filter_type == 0:
+            f = line
+        elif filter_type == 1:
+            left = np.zeros_like(line)
+            left[1:] = line[:-1]
+            f = line - left
+        elif filter_type == 2:
+            f = line - prev
+        else:
+            raise NotImplementedError("palette fixture filters: 0/1/2")
+        raw.append(filter_type)
+        raw += f.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    chunks = MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        chunks += _chunk(b"tRNS", np.ascontiguousarray(trns, np.uint8).tobytes())
+    return chunks + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")

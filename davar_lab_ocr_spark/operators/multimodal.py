@@ -8,8 +8,10 @@ via the pure-stdlib codec in functions/png.py (zlib inflate + per-row
 unfilter) and baseline-sequential JPEG via the pure-numpy codec in
 functions/jpeg.py (Huffman entropy decode + IDCT + chroma upsample);
 the object-store fetch itself is a deterministic fake (fake_payload
-encodes pseudo-random pixels as PNG, or as JPEG for '.jpg' refs).
-Progressive/arithmetic JPEG stays honestly gated
+encodes pseudo-random pixels as PNG / paletted PNG / baseline or
+progressive JPEG by ref extension). Progressive (SOF2) JPEG and
+paletted (PLTE/tRNS) PNG decode for real as of r5; arithmetic-coded
+and 12-bit JPEG and interlaced/16-bit PNG stay honestly gated
 (NotImplementedError in the codec); a legacy raw (h, w, c)-header
 payload form is still accepted for hand-crafted test inputs. The pixel
 KERNELS (quad crop, perspective rectification, bilinear resize) are
@@ -51,9 +53,13 @@ _JPEG_SOI = b"\xff\xd8\xff"
 def fake_payload(media_ref: str) -> bytes:
     """Deterministic stand-in for an object-store fetch: REAL codec
     bytes whose dimensions and pseudo-random pixels are seeded by the
-    ref. Refs ending '.jpg'/'.jpeg' get baseline JPEG (c in {1, 3},
-    4:2:0 for color — the scanned-document corpus shape); everything
-    else gets PNG with the same (h, w, c) and pixel values as earlier
+    ref. Extension picks the codec shape a real corpus would hit:
+    '.jpg' -> baseline JPEG (c in {1, 3}, 4:2:0 for color — the
+    scanned-document shape); '.jpeg' -> PROGRESSIVE JPEG (SOF2, same
+    dims/channels arithmetic); '.pal.png' -> paletted PNG (color type
+    3, depth in {1,2,4,8} from the digest, tRNS alpha on even
+    digest[4] -> decodes to 4 channels, else 3); everything else ->
+    truecolor PNG with the same (h, w, c) and pixel values as earlier
     rounds' raw-header payloads, keeping the downstream pixel kernels
     bit-compatible."""
     digest = hashlib.md5(media_ref.encode()).digest()
@@ -61,11 +67,21 @@ def fake_payload(media_ref: str) -> bytes:
     w = 32 + digest[1] % 96
     rng = np.random.default_rng(int.from_bytes(digest[:4], "little"))
     if media_ref.endswith((".jpg", ".jpeg")):
-        from ..functions.jpeg import jpeg_encode
+        from ..functions.jpeg import jpeg_encode, jpeg_encode_progressive
 
         c = 1 if digest[2] % 2 == 0 else 3
         pixels = rng.integers(0, 256, size=h * w * c, dtype=np.uint8).reshape(h, w, c)
-        return jpeg_encode(pixels, quality=90, subsample=2 if c == 3 else 1)
+        enc = jpeg_encode_progressive if media_ref.endswith(".jpeg") else jpeg_encode
+        return enc(pixels, quality=90, subsample=2 if c == 3 else 1)
+    if media_ref.endswith(".pal.png"):
+        from ..functions.png import png_encode_palette
+
+        depth = (1, 2, 4, 8)[digest[3] % 4]
+        n = 1 << depth
+        idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+        palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        trns = rng.integers(0, 256, size=n, dtype=np.uint8) if digest[4] % 2 == 0 else None
+        return png_encode_palette(idx, palette, trns=trns, depth=depth)
     from ..functions.png import png_encode
 
     c = 1 + digest[2] % 3
@@ -91,7 +107,7 @@ def payload_meta(payload: bytes) -> tuple[int, int, int] | None:
 
         try:
             return J.jpeg_meta(payload)
-        except NotImplementedError:  # progressive/12-bit: honest gate
+        except NotImplementedError:  # arithmetic/12-bit: honest gate
             if STRICT:
                 raise
             return None
@@ -104,8 +120,8 @@ def payload_to_array(payload: bytes) -> np.ndarray | None:
     """Parse a fetched payload into an (h, w, c) uint8 array. PNG bytes
     go through the real stdlib decoder; the legacy raw-header form
     ((h, w, c) byte header + uncompressed pixels) is kept for
-    hand-crafted test payloads; baseline JPEG goes through the
-    pure-numpy decoder (progressive stays gated in the codec)."""
+    hand-crafted test payloads; baseline and progressive JPEG go
+    through the pure-numpy decoder (arithmetic/12-bit stay gated)."""
     if payload is None or len(payload) < 8:
         return None
     from ..functions import png as P
@@ -120,7 +136,7 @@ def payload_to_array(payload: bytes) -> np.ndarray | None:
 
         try:
             return J.jpeg_decode(payload)
-        except NotImplementedError:  # progressive/12-bit: honest gate
+        except NotImplementedError:  # arithmetic/12-bit: honest gate
             if STRICT:
                 raise
             return None
@@ -150,39 +166,52 @@ def fetch_media_stage(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     return df.mapInArrow(run, schema=out_schema)
 
 
-def decode_media_stage(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_media_stage(
+    df: DataFrame, payload_col: str = "payload", verify_pixels: bool = False
+) -> DataFrame:
     """binary payload -> (height, width, n_channels) metadata. PNG
-    payloads parse the real IHDR (no pixel inflate — the metadata-only
-    fast path); legacy raw-header payloads read their 3-byte header;
-    baseline JPEG parses SOF; progressive is gated (STRICT raises,
-    otherwise null metadata)."""
+    payloads parse the real IHDR (paletted images also scan for tRNS
+    to report the post-gather channel count); legacy raw-header
+    payloads read their 3-byte header; baseline AND progressive JPEG
+    parse the SOF frame header (no entropy decode — the metadata fast
+    path). ``verify_pixels=True`` additionally runs the FULL pixel
+    decode and emits a ``decode_ok`` flag (pixels decoded and their
+    shape matches the header) — the cheap way for a driver query to
+    force the whole entropy layer to execute distributed."""
     meta_fields = [
         T.StructField("m_height", T.IntegerType()),
         T.StructField("m_width", T.IntegerType()),
         T.StructField("m_channels", T.IntegerType()),
     ]
+    if verify_pixels:
+        meta_fields.append(T.StructField("decode_ok", T.BooleanType()))
     out_schema = T.StructType(df.schema.fields + meta_fields)
 
     def run(batches):
         for batch in batches:
             payloads = batch.column(payload_col).to_pylist()
-            hs, ws, cs = [], [], []
+            hs, ws, cs, oks = [], [], [], []
             for p in payloads:
                 meta = payload_meta(p)
                 if meta is None:
                     hs.append(None), ws.append(None), cs.append(None)
+                    oks.append(None)
                 else:
                     hs.append(meta[0]), ws.append(meta[1]), cs.append(meta[2])
+                    if verify_pixels:
+                        arr = payload_to_array(p)
+                        oks.append(arr is not None and arr.shape == tuple(meta))
             arrays = [batch.column(i) for i in range(batch.num_columns)]
-            yield pa.RecordBatch.from_arrays(
-                arrays
-                + [
-                    pa.array(hs, type=pa.int32()),
-                    pa.array(ws, type=pa.int32()),
-                    pa.array(cs, type=pa.int32()),
-                ],
-                names=list(batch.schema.names) + ["m_height", "m_width", "m_channels"],
-            )
+            extra = [
+                pa.array(hs, type=pa.int32()),
+                pa.array(ws, type=pa.int32()),
+                pa.array(cs, type=pa.int32()),
+            ]
+            names = list(batch.schema.names) + ["m_height", "m_width", "m_channels"]
+            if verify_pixels:
+                extra.append(pa.array(oks, type=pa.bool_()))
+                names.append("decode_ok")
+            yield pa.RecordBatch.from_arrays(arrays + extra, names=names)
 
     return df.mapInArrow(run, schema=out_schema)
 

@@ -88,12 +88,55 @@ def test_meta_parses_sof_only():
     assert jpeg_meta(b1) == (12, 9, 1)
 
 
-def test_progressive_gate():
-    # rewrite the SOF0 marker to SOF2 (progressive): both meta and
-    # decode must gate, not mis-decode
+def test_progressive_roundtrip_matches_baseline():
+    """SOF2 decode: the progressive encoder quantizes identically to
+    the baseline one, so the progressive decode must be pixel-equal to
+    the baseline decode of the same image — DC/AC first scans with
+    point transform, successive-approximation refinement, spectral
+    bands, per-scan DHT redefinition all in play."""
+    from davar_lab_ocr_spark.functions.jpeg import jpeg_encode_progressive
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    gray = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(gray, quality=95))
+    prog = jpeg_encode_progressive(gray, quality=95)
+    assert jpeg_meta(prog) == (37, 53, 1)
+    assert np.array_equal(jpeg_decode(prog), base)
+
+    img = _smooth_rgb(45, 57)
+    for ss in (1, 2):  # 4:4:4 and 4:2:0 (interleaved DC scan shapes)
+        b = jpeg_decode(jpeg_encode(img, quality=90, subsample=ss))
+        p = jpeg_decode(jpeg_encode_progressive(img, quality=90, subsample=ss))
+        assert np.array_equal(p, b)
+
+
+def test_progressive_eobrun_and_dense_blocks():
+    # flat regions accumulate EOBRUN > 1 across blocks; noise fills
+    # bands densely (ZRL + refinement correction-bit paths)
+    from davar_lab_ocr_spark.functions.jpeg import jpeg_encode_progressive
+
+    rng = np.random.default_rng(3)
+    flat = np.full((64, 64, 3), 130, np.uint8)
+    flat[20:28, 24:40] = [250, 10, 60]  # one busy island in a flat sea
+    for img in (flat, rng.integers(0, 256, (40, 64, 3), dtype=np.uint8)):
+        b = jpeg_decode(jpeg_encode(img, quality=92))
+        p = jpeg_decode(jpeg_encode_progressive(img, quality=92))
+        assert np.array_equal(p, b)
+
+
+def test_progressive_truncated_is_valueerror():
+    from davar_lab_ocr_spark.functions.jpeg import jpeg_encode_progressive
+
+    data = jpeg_encode_progressive(_smooth_rgb(24, 24), quality=90)
+    with pytest.raises(ValueError):
+        jpeg_decode(data[: len(data) * 2 // 3])
+
+
+def test_non_huffman_sof_still_gated():
+    # SOF9 (arithmetic sequential) must stay honestly gated
     b = bytearray(jpeg_encode(np.zeros((8, 8), np.uint8)))
     i = bytes(b).find(b"\xff\xc0")
-    b[i + 1] = 0xC2
+    b[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         jpeg_meta(bytes(b))
     with pytest.raises(NotImplementedError):

@@ -51,6 +51,89 @@ def test_unsupported_shapes_gated():
         png_meta(data)
 
 
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_palette_roundtrip_all_depths(depth):
+    from davar_lab_ocr_spark.functions.png import png_decode, png_encode_palette, png_meta
+
+    rng = np.random.default_rng(depth)
+    n = 1 << depth
+    h, w = 13, 21  # odd width exercises sub-byte row padding
+    idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+    palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    data = png_encode_palette(idx, palette, depth=depth)
+    assert png_meta(data) == (h, w, 3)
+    out = png_decode(data)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, palette[idx])
+
+
+def test_palette_trns_alpha_and_filters():
+    from davar_lab_ocr_spark.functions.png import png_decode, png_encode_palette, png_meta
+
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 5, size=(9, 17), dtype=np.uint8)
+    palette = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    # tRNS shorter than the palette: trailing entries default opaque
+    trns = np.array([0, 128, 255], dtype=np.uint8)
+    for ft in (0, 1, 2):
+        data = png_encode_palette(idx, palette, trns=trns, depth=8, filter_type=ft)
+        assert png_meta(data) == (9, 17, 4)
+        out = png_decode(data)
+        assert out.shape == (9, 17, 4)
+        assert np.array_equal(out[:, :, :3], palette[idx])
+        alpha_lut = np.array([0, 128, 255, 255, 255], dtype=np.uint8)
+        assert np.array_equal(out[:, :, 3], alpha_lut[idx])
+
+
+def test_palette_sub_byte_filters_use_bpp1():
+    """Sub filter on a 4-bit palette row operates on raw BYTES (two
+    pixels per unit) — regression for the generalized _unfilter."""
+    from davar_lab_ocr_spark.functions.png import png_decode, png_encode_palette
+
+    idx = np.tile(np.arange(16, dtype=np.uint8), (6, 3))  # (6, 48)
+    palette = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    a = png_decode(png_encode_palette(idx, palette, depth=4, filter_type=0))
+    b = png_decode(png_encode_palette(idx, palette, depth=4, filter_type=1))
+    c = png_decode(png_encode_palette(idx, palette, depth=4, filter_type=2))
+    assert np.array_equal(a, b) and np.array_equal(a, c)
+
+
+def test_palette_malformed_rejected():
+    import struct
+    import zlib as _z
+
+    from davar_lab_ocr_spark.functions.png import (
+        MAGIC,
+        _chunk,
+        png_decode,
+        png_encode_palette,
+    )
+
+    idx = np.zeros((4, 4), np.uint8)
+    palette = np.zeros((2, 3), np.uint8)
+    good = png_encode_palette(idx, palette)
+    # strip the PLTE chunk -> ValueError, not a crash
+    plte_at = good.index(b"PLTE") - 4
+    (ln,) = struct.unpack(">I", good[plte_at : plte_at + 4])
+    no_plte = good[:plte_at] + good[plte_at + 12 + ln :]
+    with pytest.raises(ValueError):
+        png_decode(no_plte)
+    # index beyond the palette -> ValueError
+    with pytest.raises(ValueError):
+        png_encode_palette(np.full((2, 2), 7, np.uint8), palette)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = _z.compress(bytes([0, 5, 5, 0, 5, 5]))
+    oob = (
+        MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", bytes(6))
+        + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        png_decode(oob)
+
+
 def test_fake_payload_is_real_png_with_stable_dims():
     """fake_payload now emits real PNG; dims/pixels still follow the
     md5 arithmetic the media_decode oracle reproduces in SQL."""
