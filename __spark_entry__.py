@@ -920,6 +920,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_decode_variants"] = media_decode_variants
 
+    def track_fscore_eval(spark, sf):
+        # F-score-R (YORO protocol, evaluate_hmeans.py parity) over the
+        # reference's OWN shipped 798-track IC15 prediction file. The
+        # reference does not ship the gt json (only the vocabulary), so
+        # the gt here is derived from the predictions (each unique-
+        # selected-frame track's box + text becomes one gt track) — the
+        # oracle counts (500/798/500) come from an INDEPENDENT plain-
+        # python brute-force of the full greedy protocol with its own
+        # polygon-clip IoU (tests/test_video_eval.py::
+        # test_fscore_on_shipped_pred_with_derived_gt)
+        import json as _json
+
+        from davar_lab_ocr_spark.operators.video import (
+            fscore_track_eval,
+            select_best_frame,
+        )
+        from davar_lab_ocr_spark.sources.datalist import read_track_results
+
+        pred_file = (
+            "/root/reference/demo/videotext/evaluation/pred/"
+            "IC15_pred_recommder_result.json"
+        )
+        raw = _json.loads(open(pred_file, "rb").read().decode("utf-8"))
+        gt_rows = []
+        for vid, tracks in raw.items():
+            seen = {}
+            for tid, rec in tracks.items():
+                f, pts, _w = select_best_frame(rec["track"], rec["scores"])
+                seen.setdefault(f, []).append((tid, f, pts, rec["text"].upper()))
+            for group in seen.values():
+                if len(group) == 1:
+                    tid, f, pts, text = group[0]
+                    inst = f"{f},w,HIGH," + "_".join(str(int(v)) for v in pts)
+                    gt_rows.append((vid, f"g{tid}", text, [inst]))
+        gt = spark.createDataFrame(
+            gt_rows,
+            "video_id string, gt_id string, trans string, track array<string>",
+        )
+        return fscore_track_eval(read_track_results(spark, pred_file), gt)
+
+    q["track_fscore_eval"] = track_fscore_eval
+
     def html_main_content(spark, sf):
         # synthesize boilerplate-wrapped pages from documents, then
         # strip back to main content — expected spans derive from the
@@ -1238,11 +1280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness rows for the FIRST 50 entries; the
     # out-of-window tail ROTATES each round so every registered query
     # has a driver row at most one round old (VERDICT r3 next-round #8).
-    # Round 5 tail (14 entries; EVERY one driver-green in r4's window,
+    # Round 5 tail (15 entries; EVERY one driver-green in r4's window,
     # CORRECTNESS_r04, so nothing is ever more than one round stale):
-    # the whole r4 tail rotates back into the window along with the one
-    # NEW query (media_decode_variants), pushing 14 r4-green entries
-    # out. Family pinning for the rotated-out set: the media/codec path
+    # the whole r4 tail rotates back into the window along with the two
+    # NEW queries (media_decode_variants, track_fscore_eval), pushing
+    # 15 r4-green entries out. Family pinning for the rotated-out set: the media/codec path
     # is pinned by media_decode_variants (progressive JPEG + paletted
     # PNG with full pixel decode) and media_transform in-window; text
     # stats by token_stats/quality_score/repetition_stats/
@@ -1265,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_at_k",
         "recognition_metrics",
         "poly_rect",
+        "char_voting",  # MANGO family stays pinned by spot_e2e_eval
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     assert len(ordered) <= 50, f"driver window overflow: {len(ordered)} primary queries"
@@ -2134,6 +2177,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(m_width * scale) AS int) AS resized_w,
                    round(scale, 8) AS scale_factor
             FROM scaled
+        """,
+        # INDEPENDENT-BRUTE-FORCE oracle on the reference's shipped
+        # 798-track IC15 pred file with self-derived gt: counts from a
+        # separate plain-python implementation of the whole greedy
+        # F-score-R protocol incl. its own convex-clip IoU
+        # (tests/test_video_eval.py). 500 unique-selected-frame tracks
+        # all match at IoU 1.0; precision = 500/798 (no '###' in the
+        # derived gt so every pred stays care)
+        "track_fscore_eval": """
+            SELECT 500 AS n_matched, 798 AS n_pred, 500 AS n_gt,
+                   1.0 AS recall,
+                   round(500.0 / 798.0, 6) AS precision,
+                   round(1000.0 / 1298.0, 6) AS hmean
         """,
         # fixture oracles — provenance varies per fixture (documented in
         # tools/make_expected_fixtures.py): flagship/resume/fullchain/

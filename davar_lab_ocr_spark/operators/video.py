@@ -200,3 +200,238 @@ def make_track_fixture(n_videos: int = 6, seed: int = 41):
             merged_count += 1
         expected[vid] = merged_count
     return rows, expected
+
+
+# ---------------------------------------------------------------------------
+# F-score-R end-to-end track evaluation (YORO protocol)
+# ---------------------------------------------------------------------------
+# Reference: demo/videotext/evaluation/evaluate_hmeans.py (Fscore) +
+# evaluate_utils.py (load_gt_fscore:374, load_pre_fscore:449,
+# process_gt_trans:119, string_map:10). The shipped gt archive is NOT in
+# the repo (gt/IC15/ carries only the vocabulary), so the published
+# 468/675 totals cannot be re-run; parity evidence is (a) the shipped
+# 798-track pred file parsed through the scan + selected-frame rule
+# (tests/test_video_eval.py) and (b) a synthetic-gt golden against an
+# independent brute-force oracle.
+
+# the reference's recognition charset (evaluate_utils.py:10); only the
+# digit prefix matters to the protocol (digit-bearing gt words skip
+# vocabulary correction) but index() also VALIDATES membership — a gt
+# char outside the charset raises in the reference, and we preserve that
+_EVAL_STRING_MAP = (
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "[]+-#$()@=_!?,:;/.%&\\'\">*|<`{~}^   "
+)
+
+
+def snap_gt_trans(trans: str, voca_list: list[str]) -> str:
+    """process_gt_trans parity (evaluate_utils.py:119-149): gt words
+    snap to the nearest vocabulary entry by Levenshtein distance
+    (first-minimum wins), EXCEPT '###' and digit-bearing words, which
+    pass through unchanged. With an empty vocabulary the non-excepted
+    branch returns '' (the reference's init value) — caller passes a
+    vocabulary iff the protocol runs in lexicon mode."""
+    contain_number = False
+    for ch in trans:
+        if _EVAL_STRING_MAP.index(ch) <= 9:
+            contain_number = True
+    if trans == "###" or contain_number:
+        return trans
+    best, word = 10**7, ""
+    for voca in voca_list:
+        d = _levenshtein(voca, trans)
+        if d < best:
+            best, word = d, voca
+    return word
+
+
+def parse_pred_instance(s: str) -> tuple[int, list[int], str]:
+    """'frame,x1_y1_..._y4,word' -> (frame, 8 int points, word) with
+    the reference's int() truncation (load_pre_fscore:478-490)."""
+    parts = s.split(",")
+    frame = int(parts[0])
+    pts = [int(v) for v in parts[1].split("_")[:8]]
+    return frame, pts, parts[-1]
+
+
+def parse_gt_instance(s: str) -> tuple[int, str, list[int]]:
+    """gt 'frame,...,quality,x1_y1_..._y4' -> (frame, quality, points)
+    (load_gt_fscore via load_gt_ata split semantics: frame from the
+    first comma field, quality and bbox from the last two)."""
+    frame = int(s.split(",", 2)[0])
+    quality = s.rsplit(",", 2)[-2]
+    bbox = s.rsplit(",", 2)[-1]
+    pts = [int(v) for v in bbox.split("_")[:8]]
+    return frame, quality, pts
+
+
+def select_best_frame(track: list[str], scores: list[float]) -> tuple[int, list[int], str]:
+    """load_pre_fscore selected-frame rule: the frame whose quality
+    score is the STRICT maximum — on ties the FIRST max wins
+    (`score > max_score`). Returns (frame, points, word-at-frame).
+    NOTE the reference keys locations per frame id, so a track that
+    revisits a frame id keeps the LAST instance's bbox for that frame;
+    we preserve that by resolving the selected location after the full
+    pass."""
+    best_i, best_s = 0, float("-inf")
+    loc_by_frame: dict[int, list[int]] = {}
+    word_by_frame: dict[int, str] = {}
+    for i, inst in enumerate(track):
+        frame, pts, word = parse_pred_instance(inst)
+        loc_by_frame[frame] = pts
+        word_by_frame[frame] = word
+        if scores[i] > best_s:
+            best_s, best_i = scores[i], i
+    sel_frame = int(track[best_i].split(",")[0])
+    return sel_frame, loc_by_frame[sel_frame], word_by_frame[sel_frame]
+
+
+_FSCORE_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("matched", T.IntegerType()),
+        T.StructField("pred_care", T.IntegerType()),
+        T.StructField("gt_care", T.IntegerType()),
+    ]
+)
+
+
+def _fscore_one_video(pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame,
+                      iou_thresh: float) -> pd.DataFrame:
+    """The evaluate_hmeans.py Fscore per-video loop, quirks preserved:
+
+    - pred tracks iterate in ROW ORDER (the reference's dict insertion
+      order) and greedily consume gt tracks;
+    - gt candidates iterate grouped by transcription (label_index_dict
+      insertion order) and ties on IoU go to the LAST max (`iou >=
+      max_iou`);
+    - max_iou starts at -1, so a pred whose selected frame exists in
+      ANY unmatched gt track always acquires a max_gt_idx — even at
+      IoU 0 — and if that gt is '###' the pair is consumed as a
+      don't-care match with NO IoU threshold applied;
+    - the care-match branch requires iou >= thresh AND exact
+      (uppercased-pred == snapped-gt) word equality."""
+    video_id = (
+        pred_pdf["video_id"].iloc[0]
+        if len(pred_pdf)
+        else (gt_pdf["video_id"].iloc[0] if len(gt_pdf) else "")
+    )
+    from .metrics import _prep_poly
+
+    def quad(pts):
+        return _prep_poly(np.asarray(pts, dtype=np.float64).reshape(4, 2))
+
+    from .metrics import _prep_iou
+
+    # gt state in row order; label grouping preserves first-seen order
+    gt_rows = list(gt_pdf.itertuples())
+    voca = []
+    if len(gt_pdf) and "words" in gt_pdf.columns:
+        w = gt_pdf["words"].iloc[0]
+        if w is not None and len(w):
+            voca = list(w)
+    trans_map = {}   # gt_id -> snapped trans
+    loc_map = {}     # gt_id -> {frame: prep_poly}
+    matched = {}     # gt_id -> 0/1/2
+    label_order: dict[str, list] = {}
+    gt_notcare = 0
+    for r in gt_rows:
+        trans = snap_gt_trans(r.trans, voca) if voca else r.trans
+        trans_map[r.gt_id] = trans
+        if trans == "###":
+            gt_notcare += 1
+        matched[r.gt_id] = 0
+        label_order.setdefault(trans, []).append(r.gt_id)
+        locs = {}
+        for inst in r.track:
+            frame, _q, pts = parse_gt_instance(inst)
+            locs[frame] = quad(pts)
+        loc_map[r.gt_id] = locs
+
+    pre_matched = {}
+    for p in pred_pdf.itertuples():
+        sel_frame, sel_pts, _w = select_best_frame(list(p.track), list(p.scores))
+        sel_word = str(p.text).upper()
+        pre_matched[p.track_id] = 0
+        sel_prep = quad(sel_pts)
+        max_iou, max_gt = -1.0, None
+        for label in label_order:
+            for gt_id in label_order[label]:
+                if matched[gt_id] in (1, 2):
+                    continue
+                if sel_frame not in loc_map[gt_id]:
+                    continue
+                iou = _prep_iou(sel_prep, loc_map[gt_id][sel_frame])
+                if iou >= max_iou:
+                    max_iou, max_gt = iou, gt_id
+        if max_gt is None:
+            continue
+        if trans_map[max_gt] == "###":
+            pre_matched[p.track_id] = 2
+            matched[max_gt] = 2
+        elif max_iou >= iou_thresh and trans_map[max_gt] == sel_word:
+            pre_matched[p.track_id] = 1
+            matched[max_gt] = 1
+
+    n_matched = sum(1 for v in pre_matched.values() if v == 1)
+    n_pred_notcare = sum(1 for v in pre_matched.values() if v == 2)
+    return pd.DataFrame(
+        {
+            "video_id": [video_id],
+            "matched": [n_matched],
+            "pred_care": [len(pre_matched) - n_pred_notcare],
+            "gt_care": [len(matched) - gt_notcare],
+        }
+    )
+
+
+def fscore_track_eval(
+    pred: DataFrame,
+    gt: DataFrame,
+    voca: DataFrame | None = None,
+    iou_thresh: float = 0.5,
+) -> DataFrame:
+    """Corpus F-score-R (YORO end-to-end protocol): pred tracks
+    (video_id, track_id, track array<string>, scores array<double>,
+    text) vs gt tracks (video_id, gt_id, trans, track array<string>)
+    with an optional per-video vocabulary (video_id, words
+    array<string>).
+
+    Spark shape: the greedy per-video match runs in a cogrouped
+    applyInPandas (a video's tracks are small; the corpus is many
+    videos — the natural parallel unit at 100 TB), followed by ONE
+    global aggregation to the corpus P/R/H row. The vocabulary joins
+    onto the gt side first (broadcast: lexicons are tiny)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import broadcast
+
+    if voca is not None:
+        gt = gt.join(broadcast(voca), "video_id", "left")
+
+    def run(key, pred_pdf, gt_pdf):
+        return _fscore_one_video(pred_pdf, gt_pdf, iou_thresh)
+
+    per_video = (
+        pred.groupBy("video_id")
+        .cogroup(gt.groupBy("video_id"))
+        .applyInPandas(run, schema=_FSCORE_VIDEO_SCHEMA)
+    )
+    totals = per_video.agg(
+        F.sum("matched").alias("n_matched"),
+        F.sum("pred_care").alias("n_pred"),
+        F.sum("gt_care").alias("n_gt"),
+    )
+    return totals.select(
+        "n_matched",
+        "n_pred",
+        "n_gt",
+        F.round(F.col("n_matched") / F.col("n_gt"), 6).alias("recall"),
+        F.round(F.col("n_matched") / F.col("n_pred"), 6).alias("precision"),
+        F.round(
+            2.0
+            * (F.col("n_matched") / F.col("n_gt"))
+            * (F.col("n_matched") / F.col("n_pred"))
+            / (F.col("n_matched") / F.col("n_gt") + F.col("n_matched") / F.col("n_pred")),
+            6,
+        ).alias("hmean"),
+    )

@@ -419,3 +419,57 @@ def eval_archive_pairs(
     return gtg.join(pg, "doc_id", "left").withColumn(
         "pred", F.coalesce(F.col("pred"), F.array().cast(pg.schema["pred"].dataType))
     )
+
+
+def read_track_results(spark: SparkSession, path: str) -> DataFrame:
+    """Videotext track-result JSON ({video: {track_id: {'track': [...],
+    'scores': [...]?, 'text': str?}}} — the format of the reference's
+    shipped demo/videotext/evaluation/pred/ files) -> rows (video_id,
+    track_id, track array<string>, scores array<double>, text). The
+    file rides to an executor whole via binaryFile (one json is one
+    work unit; corpus parallelism comes from many files — pass a glob),
+    and parsing happens inside the Arrow batch."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyspark.sql.types as T
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType()),
+            T.StructField("track_id", T.StringType()),
+            T.StructField("track", T.ArrayType(T.StringType())),
+            T.StructField("scores", T.ArrayType(T.DoubleType())),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        for batch in batches:
+            for buf in batch.column("content").to_pylist():
+                data = _json.loads(buf.decode("utf-8"))
+                vids, tids, tracks, scores, texts = [], [], [], [], []
+                for video_id, track_map in data.items():
+                    for track_id, rec in track_map.items():
+                        vids.append(video_id)
+                        tids.append(str(track_id))
+                        tracks.append(list(rec["track"]))
+                        scores.append(
+                            [float(s) for s in rec["scores"]]
+                            if "scores" in rec
+                            else None
+                        )
+                        texts.append(rec.get("text"))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(vids, pa.string()),
+                        pa.array(tids, pa.string()),
+                        pa.array(tracks, pa.list_(pa.string())),
+                        pa.array(scores, pa.list_(pa.float64())),
+                        pa.array(texts, pa.string()),
+                    ],
+                    names=["video_id", "track_id", "track", "scores", "text"],
+                )
+
+    return files.mapInArrow(run, schema=schema)
