@@ -769,6 +769,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spot_e2e_eval"] = spot_e2e_eval
 
+    def spot_lexicon_eval(spark, sf):
+        # STRONG-lexicon config of the same shipped MANGO IC13 run: the
+        # NONE predictions are corrected per-image against the shipped
+        # strong_lexicon.zip (test_ic13.py:119-127 find_nearest_word
+        # rule) before the e2e matcher. The reference publishes no
+        # numbers for this zip+lexicon combination, so the oracle counts
+        # (det 850, spot 805, gt 917, det-care 883) come from an
+        # INDEPENDENT plain-python brute-force of the whole protocol
+        # (tests/test_spot_lexicon.py) whose det leg reproduces the
+        # PUBLISHED None-run det numbers exactly — the det metrics are
+        # lexicon-invariant, so 0.9269/0.9626/0.9444 double as a
+        # published-numbers anchor for this query too
+        from davar_lab_ocr_spark.operators.spotting import (
+            lexicon_correct_stage,
+            read_strong_lexicons,
+        )
+        from davar_lab_ocr_spark.sources.datalist import read_eval_archive
+
+        base = "/root/reference/demo/text_spotting/evaluation/"
+        gt = read_eval_archive(
+            spark, base + "gts/gt-icdar2013.zip", has_conf=False
+        ).withColumn("doc_id", F.regexp_replace("doc_id", "^gt_", ""))
+        pred = read_eval_archive(
+            spark, base + "preds/mango_r50_ic13_none.zip", has_conf=False
+        )
+        lex = spark.createDataFrame(
+            read_strong_lexicons(
+                base + "lexicons/icdar2013/strong_lexicon.zip"
+            ),
+            "doc_id string, words array<string>",
+        )
+        pred = lexicon_correct_stage(pred, lexicon=lex)
+        gtg = gt.groupBy("doc_id").agg(
+            F.collect_list(
+                F.struct(F.col("poly"), F.lit(1).alias("care"), F.col("text"))
+            ).alias("gt")
+        )
+        pg = pred.groupBy("doc_id").agg(
+            F.collect_list(
+                F.struct(F.col("poly"), F.col("conf"), F.col("text"))
+            ).alias("pred")
+        )
+        pairs = gtg.join(pg, "doc_id", "left").withColumn(
+            "pred",
+            F.coalesce(F.col("pred"), F.array().cast(pg.schema["pred"].dataType)),
+        )
+        row = M.e2e_hmean(
+            pairs,
+            iou_thr=0.1,
+            area_prec_thr=0.1,
+            special_characters="!?.:,*\"()·[]/' ",
+        )
+        cols = [
+            "det_precision", "det_recall", "det_hmean",
+            "spot_precision", "spot_recall", "spot_hmean",
+        ]
+        return row.select(*[F.round(F.col(c), 4).alias(c) for c in cols])
+
+    q["spot_lexicon_eval"] = spot_lexicon_eval
+
     def conll_ner_decode(spark, sf):
         # the reference's shipped CoNLL-2003 TEST datalist (IOBES gold
         # tags) through the real nlp-datalist scan + distributed NER
@@ -1280,11 +1340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness rows for the FIRST 50 entries; the
     # out-of-window tail ROTATES each round so every registered query
     # has a driver row at most one round old (VERDICT r3 next-round #8).
-    # Round 5 tail (15 entries; EVERY one driver-green in r4's window,
+    # Round 5 tail (16 entries; EVERY one driver-green in r4's window,
     # CORRECTNESS_r04, so nothing is ever more than one round stale):
-    # the whole r4 tail rotates back into the window along with the two
-    # NEW queries (media_decode_variants, track_fscore_eval), pushing
-    # 15 r4-green entries out. Family pinning for the rotated-out set: the media/codec path
+    # the whole r4 tail rotates back into the window along with the three
+    # NEW queries (media_decode_variants, track_fscore_eval,
+    # spot_lexicon_eval), pushing
+    # 16 r4-green entries out. Family pinning for the rotated-out set: the media/codec path
     # is pinned by media_decode_variants (progressive JPEG + paletted
     # PNG with full pixel decode) and media_transform in-window; text
     # stats by token_stats/quality_score/repetition_stats/
@@ -1308,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recognition_metrics",
         "poly_rect",
         "char_voting",  # MANGO family stays pinned by spot_e2e_eval
+        "sessionize",  # session family stays pinned by session_tracks
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     assert len(ordered) <= 50, f"driver window overflow: {len(ordered)} primary queries"
@@ -2177,6 +2239,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(m_width * scale) AS int) AS resized_w,
                    round(scale, 8) AS scale_factor
             FROM scaled
+        """,
+        # INDEPENDENT-BRUTE-FORCE oracle for the strong-lexicon config
+        # (counts 850/805/917/883 from tests/test_spot_lexicon.py's
+        # standalone implementation; its det leg equals the PUBLISHED
+        # None-run det figures, which lexicon correction cannot change)
+        "spot_lexicon_eval": """
+            SELECT round(850.0/883, 4) AS det_precision,
+                   round(850.0/917, 4) AS det_recall,
+                   round(2*(850.0/917)*(850.0/883)/((850.0/917)+(850.0/883)), 4)
+                       AS det_hmean,
+                   round(805.0/883, 4) AS spot_precision,
+                   round(805.0/917, 4) AS spot_recall,
+                   round(2*(805.0/917)*(805.0/883)/((805.0/917)+(805.0/883)), 4)
+                       AS spot_hmean
         """,
         # INDEPENDENT-BRUTE-FORCE oracle on the reference's shipped
         # 798-track IC15 pred file with self-derived gt: counts from a

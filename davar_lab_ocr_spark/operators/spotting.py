@@ -259,3 +259,170 @@ def make_seg_fixture(doc_idx: int, seed: int = 67, h: int = 48, w: int = 48):
         golden.append((x0, y0, x1, y1, (y1 - y0 + 1) * (x1 - x0 + 1)))
     row = {"doc_id": f"seg-{doc_idx}", "seg": seg.reshape(-1).tolist(), "h": h, "w": w}
     return row, golden
+
+
+# ---------------------------------------------------------------------------
+# lexicon-constrained spotting (generic / weak / strong lexicon modes)
+# ---------------------------------------------------------------------------
+# Reference: demo/text_spotting/mango/tools/test_ic13.py:27-35
+# (find_nearest_word) and :119-127 (the correction rule applied to the
+# NONE predictions before re-running the evaluation). Quirks preserved:
+# the skip regex '[0-9+]' also skips words containing '+'; distances
+# compare UPPERCASED strings but the replacement is the lexicon word in
+# its original case; first strict minimum wins (dist_min init 100, so
+# an empty lexicon corrects to ' '); commas are stripped from the
+# corrected word when results are re-serialized (the writer does
+# .replace(',', '')).
+
+def _encode_lexicon(words: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Uppercased words -> padded int32 codepoint matrix + lengths,
+    the shape batch_edit_distances consumes."""
+    if not words:
+        return np.zeros((0, 1), np.int32), np.zeros(0, np.int64)
+    lens = np.array([len(w) for w in words], dtype=np.int64)
+    mat = np.zeros((len(words), max(int(lens.max()), 1)), dtype=np.int32)
+    for i, w in enumerate(words):
+        u = w.upper()
+        mat[i, : len(u)] = [ord(c) for c in u]
+    return mat, lens
+
+
+def batch_edit_distances(query: str, word_mat: np.ndarray, word_lens: np.ndarray) -> np.ndarray:
+    """Levenshtein distance from ``query`` (uppercased) to every
+    encoded lexicon word at once: the classic DP with the word axis
+    vectorized — O(len(query) * maxlen) numpy ops regardless of
+    lexicon size, which is what makes an 87k-word generic vocabulary
+    usable inside an Arrow batch (a per-pair python DP would be ~100x
+    slower)."""
+    q = [ord(c) for c in query.upper()]
+    n, L = word_mat.shape
+    dp = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))
+    for i, qc in enumerate(q, 1):
+        prev = dp
+        dp = np.empty_like(prev)
+        dp[:, 0] = i
+        neq = (word_mat != qc).astype(np.int64)
+        for j in range(1, L + 1):
+            dp[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, dp[:, j - 1] + 1),
+                prev[:, j - 1] + neq[:, j - 1],
+            )
+        # positions beyond each word's length are invalid; they are
+        # masked at readout via word_lens
+    # distance of query vs word i = dp[i, len_i]
+    return dp[np.arange(n), word_lens] if len(q) else word_lens.copy()
+
+
+def nearest_lexicon_word(text: str, words: list[str], word_mat=None, word_lens=None) -> str:
+    """find_nearest_word parity: first strict minimum in lexicon order;
+    ' ' when nothing beats the 100 init (empty lexicon)."""
+    if word_mat is None:
+        word_mat, word_lens = _encode_lexicon(words)
+    if len(words) == 0:
+        return " "
+    d = batch_edit_distances(text, word_mat, word_lens)
+    i = int(np.argmin(d))  # argmin == first minimum, like `ed < dist_min`
+    return words[i] if d[i] < 100 else " "
+
+
+_LEX_SKIP_RE = None
+
+
+def lexicon_correct(text: str, words: list[str], word_mat=None, word_lens=None) -> str:
+    """The per-word correction rule: words shorter than 3 chars or
+    containing [0-9+] pass through; otherwise snap to the nearest
+    lexicon word and strip commas (the re-serialization quirk)."""
+    global _LEX_SKIP_RE
+    if _LEX_SKIP_RE is None:
+        import re
+
+        _LEX_SKIP_RE = re.compile("[0-9+]")
+    if len(text) < 3 or _LEX_SKIP_RE.findall(text):
+        return text
+    return nearest_lexicon_word(text, words, word_mat, word_lens).replace(",", "")
+
+
+def lexicon_correct_stage(
+    preds: DataFrame,
+    lexicon: DataFrame | None = None,
+    words: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Correct prediction transcriptions against a lexicon before
+    evaluation. Two modes mirroring the reference protocol:
+
+    - GENERIC/WEAK: one global ``words`` list, broadcast via the UDF
+      closure (87k words encode to a ~20 MB int matrix once per
+      executor);
+    - STRONG: per-image lexicons as a ``lexicon`` DataFrame (doc_id,
+      words array<string>) joined onto the rows (broadcast — strong
+      lexicons are per-test-image and tiny).
+
+    Runs as one mapInArrow pass over (doc_id, ..., text) rows; only
+    the text column changes."""
+    import pyarrow as pa
+
+    if (lexicon is None) == (words is None):
+        raise ValueError("exactly one of lexicon / words is required")
+    if lexicon is not None:
+        from pyspark.sql.functions import broadcast
+
+        preds = preds.join(broadcast(lexicon), "doc_id", "left")
+
+    out_schema = preds.schema if lexicon is None else preds.drop("words").schema
+    names = [f.name for f in out_schema.fields]
+    g_enc = _encode_lexicon(words) if words is not None else None
+
+    def run(batches):
+        cache: dict[tuple, tuple] = {}
+        for batch in batches:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            texts = cols[text_col].to_pylist()
+            if words is not None:
+                per_row_words = [words] * len(texts)
+                encs = [g_enc] * len(texts)
+            else:
+                wl = cols["words"].to_pylist()
+                per_row_words = [w if w is not None else [] for w in wl]
+                encs = []
+                for w in per_row_words:
+                    key = tuple(w)
+                    if key not in cache:
+                        cache[key] = _encode_lexicon(list(w))
+                    encs.append(cache[key])
+            corrected = [
+                lexicon_correct(t, list(w), enc[0], enc[1]) if t is not None else None
+                for t, w, enc in zip(texts, per_row_words, encs)
+            ]
+            arrays = [
+                pa.array(corrected, type=pa.string()) if n == text_col else cols[n]
+                for n in names
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return preds.mapInArrow(run, schema=out_schema)
+
+
+def read_lexicon_txt(path: str) -> list[str]:
+    """One word per line, blanks dropped (the codecs reader loop)."""
+    with open(path, encoding="utf-8") as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def read_strong_lexicons(zip_path: str) -> list[tuple[str, list[str]]]:
+    """strong_lexicon.zip -> [(doc_id, words)]; member
+    'strong_lexicon/voc_img_N.txt' pairs with prediction/gt doc id
+    'img_N' (the res_/gt_ prefixes are already stripped by the archive
+    scans)."""
+    import zipfile
+
+    out = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for name in sorted(zf.namelist()):
+            base = name.rsplit("/", 1)[-1]
+            if not base.startswith("voc_") or not base.endswith(".txt"):
+                continue
+            doc_id = base[4:-4]
+            text = zf.read(name).decode("utf-8")
+            out.append((doc_id, [ln.strip() for ln in text.splitlines() if ln.strip()]))
+    return out

@@ -317,7 +317,7 @@ def test_fscore_on_shipped_pred_with_derived_gt(spark):
                     d = q - p
                     denom = _x(b - a, d)
                     if denom != 0:
-                        t = _x(b - a, a - p) / -denom
+                        t = _x(b - a, a - p) / denom
                         out.append(tuple(p + t * d))
             poly = out
             if not poly:
