@@ -13,9 +13,11 @@ Two facts are pinned:
    the TEXT extent (a 9px-wide section header annotated colspan=3):
    no geometric post-processing can recover that span from the text
    bbox — LGPMA exists precisely to predict ALIGNED cell bboxes
-   (lgpma paper / post_lgpma.py). Synthesizing aligned bboxes from the
-   grid geometry makes derive_cells reproduce the annotated spans for
-   ALL 10 tables, which is the contract the recovery actually has.
+   (lgpma paper / post_lgpma.py). On ALIGNED bboxes (the input the
+   recovery contractually receives at LGPMA inference) the full chain
+   — derive_cells -> empty-cell fill -> area_to_html -> format_html —
+   reproduces the annotated html EXACTLY on 10/10 tables, span cells
+   and multi-row theads included (unconditional golden, r5).
 """
 
 import os
@@ -134,3 +136,20 @@ def test_pubtabnet_scan_and_structure_recovery(spark):
         from davar_lab_ocr_spark.operators.table import derive_cells
 
         assert derive_cells(aligned) == [cells_all[i] for i in nonempty]
+
+        # ...and all the way to UNCONDITIONAL html equality on 10/10:
+        # aligned bboxes -> derive_cells -> empty-cell fill ->
+        # area_to_html -> format_html equals the html built from the
+        # annotated cell spans, span cells and multi-row theads included
+        labels_all = [[int(x) for x in r["label"]] for r in regions]
+        ord_of = {i: n for n, i in enumerate(nonempty)}
+        texts_all = [
+            "" if i not in ord_of else f"t{ord_of[i]}" for i in range(len(regions))
+        ]
+        ann_html = _html_from_cells(cells_all, labels_all, texts_all)
+        rec_html, _ = _recovered_html(
+            aligned,
+            [labels_all[i] for i in nonempty],
+            [f"t{n}" for n in range(len(nonempty))],
+        )
+        assert rec_html == ann_html
