@@ -1,25 +1,26 @@
 """Pure-stdlib PNG codec — no PIL/cv2 in this environment.
 
-Decode (the real codec boundary for media payloads): non-interlaced
-color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at 8-bit
-depth, and 3 (palette, PLTE + optional tRNS alpha) at depths
-1/2/4/8 — the full sub-byte ladder, since paletted web PNGs are
-commonly 4-bit or less. All five row filters (None/Sub/Up/Average/
-Paeth) per the public PNG specification (RFC 2083 §6.2-6.6); the
-filter operates on BYTES with the unit bpp = max(1, channels *
-depth / 8), so sub-byte palette rows filter with bpp=1 (spec §6.2).
-Filters None/Sub/Up unfilter fully vectorized (Sub is a mod-256
-prefix sum along x); Average/Paeth need the reconstructed left
-neighbor, so those rows fall back to an x-loop vectorized across the
-filter unit — our own encoder emits filter 0, so the hot path never
-takes it. Palette images decode to RGB (or RGBA when tRNS is
-present) via a vectorized palette gather.
+Decode (the real codec boundary for media payloads): color types 0
+(gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at 8- AND 16-bit depth
+(16-bit big-endian samples downconvert to 8-bit via the high byte),
+and 3 (palette, PLTE + optional tRNS alpha) at depths 1/2/4/8 — the
+full sub-byte ladder, since paletted web PNGs are commonly 4-bit or
+less. Both interlace methods: none and Adam7 (7 sub-image passes,
+each filtered independently, scattered into the full grid). All five
+row filters (None/Sub/Up/Average/Paeth) per the public PNG
+specification (RFC 2083 §6.2-6.6); the filter operates on BYTES with
+the unit bpp = max(1, channels * depth / 8), so sub-byte palette rows
+filter with bpp=1 (spec §6.2). Filters None/Sub/Up unfilter fully
+vectorized (Sub is a mod-256 prefix sum along x); Average/Paeth need
+the reconstructed left neighbor, so those rows fall back to an x-loop
+vectorized across the filter unit — our own encoder emits filter 0,
+so the hot path never takes it. Palette images decode to RGB (or
+RGBA when tRNS is present) via a vectorized palette gather.
 
 Encode (fixture generator): truecolor/gray via png_encode (any single
 filter type per image, one IDAT), paletted via png_encode_palette
-(PLTE + optional tRNS, sub-byte packing). CRC via zlib.crc32.
-Interlacing (Adam7) and 16-bit depth are out of scope (raise
-NotImplementedError, honestly gated).
+(PLTE + optional tRNS, sub-byte packing), Adam7 via png_encode_adam7,
+16-bit via png_encode_16bit. CRC via zlib.crc32.
 """
 
 from __future__ import annotations
@@ -117,17 +118,29 @@ def _parse_ihdr(data: bytes) -> tuple[int, int, int, int, int]:
             w, h, depth, color, _comp, _filt, inter = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if inter != 0:
-                raise NotImplementedError("Adam7-interlaced PNG")
+            if inter not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {inter}")
             if color == 3:
                 if depth not in (1, 2, 4, 8):
                     raise NotImplementedError(f"palette PNG depth {depth}")
-            elif color not in _COLOR_CHANNELS or depth != 8:
+            elif color not in _COLOR_CHANNELS or depth not in (8, 16):
                 raise NotImplementedError(
                     f"unsupported PNG shape (depth={depth} color={color} interlace={inter})"
                 )
             return h, w, depth, color, inter
     raise ValueError("PNG missing IHDR")
+
+
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def png_meta(data: bytes) -> tuple[int, int, int]:
@@ -206,14 +219,32 @@ def _unpack_indices(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
     return idx[:, :w].astype(np.uint8)
 
 
+def _pass_layout(w: int, h: int, inter: int):
+    """-> [(x0, y0, dx, dy, pass_w, pass_h)] — one entry for the
+    whole image when non-interlaced, the 7 Adam7 sub-images otherwise.
+    Empty passes (0 width or height) contribute NO bytes (not even
+    filter bytes) per spec §8.2 and are skipped by the decoder."""
+    if inter == 0:
+        return [(0, 0, 1, 1, w, h)]
+    return [
+        (x0, y0, dx, dy, (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+        for (x0, y0, dx, dy) in _ADAM7
+    ]
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, c) uint8 array. Paletted images come back
     as RGB after the PLTE gather, or RGBA when tRNS supplies
     per-palette-entry alpha (missing tail entries default opaque,
-    spec §4.2.1.1)."""
-    h, w, depth, color, _ = _parse_ihdr(data)
+    spec §4.2.1.1). Adam7-interlaced streams decode pass-by-pass (each
+    pass filters independently) and scatter into the full grid; 16-bit
+    samples (big-endian per spec) downconvert to 8-bit by taking the
+    high byte."""
+    h, w, depth, color, inter = _parse_ihdr(data)
     idat = b"".join(payload for tag, payload in _iter_chunks(data) if tag == b"IDAT")
     raw = zlib.decompress(idat)
+    passes = _pass_layout(w, h, inter)
+    offset = 0
     if color == 3:
         plte = next(
             (payload for tag, payload in _iter_chunks(data) if tag == b"PLTE"), None
@@ -224,8 +255,17 @@ def png_decode(data: bytes) -> np.ndarray:
         trns = next(
             (payload for tag, payload in _iter_chunks(data) if tag == b"tRNS"), None
         )
-        stride = (w * depth + 7) // 8
-        idx = _unpack_indices(_unfilter(raw, h, stride, 1), w, depth)
+        idx = np.zeros((h, w), np.uint8)
+        for (x0, y0, dx, dy, pw, ph) in passes:
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * depth + 7) // 8
+            size = ph * (stride + 1)
+            rows = _unfilter(raw[offset : offset + size], ph, stride, 1)
+            offset += size
+            idx[y0::dy, x0::dx] = _unpack_indices(rows, pw, depth)
+        if offset != len(raw):
+            raise ValueError("IDAT size mismatch")
         if idx.max(initial=0) >= len(palette):
             raise ValueError("palette index out of range")
         rgb = palette[idx]  # vectorized gather -> (h, w, 3)
@@ -237,7 +277,20 @@ def png_decode(data: bytes) -> np.ndarray:
         )
         return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
     c = _COLOR_CHANNELS[color]
-    return _unfilter(raw, h, w * c, c).reshape(h, w, c)
+    bps = depth // 8  # bytes per sample (1 or 2)
+    out = np.zeros((h, w, c), np.uint8)
+    for (x0, y0, dx, dy, pw, ph) in passes:
+        if pw == 0 or ph == 0:
+            continue
+        stride = pw * c * bps
+        size = ph * (stride + 1)
+        rows = _unfilter(raw[offset : offset + size], ph, stride, c * bps)
+        offset += size
+        px = rows.reshape(ph, pw, c, bps)
+        out[y0::dy, x0::dx] = px[..., 0]  # big-endian: high byte first
+    if offset != len(raw):
+        raise ValueError("IDAT size mismatch")
+    return out
 
 
 def png_encode_palette(
@@ -289,3 +342,60 @@ def png_encode_palette(
     if trns is not None:
         chunks += _chunk(b"tRNS", np.ascontiguousarray(trns, np.uint8).tobytes())
     return chunks + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+
+
+def png_encode_adam7(arr: np.ndarray) -> bytes:
+    """Fixture generator for Adam7-interlaced truecolor/gray PNGs:
+    passes serialized in spec order, filter 0 on every row, empty
+    passes wholly absent."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in _CHANNELS_COLOR:
+        raise NotImplementedError(f"unsupported channel count {c}")
+    raw = bytearray()
+    for (x0, y0, dx, dy, pw, ph) in _pass_layout(w, h, 1):
+        if pw == 0 or ph == 0:
+            continue
+        sub = arr[y0::dy, x0::dx]
+        for y in range(ph):
+            raw.append(0)
+            raw += sub[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CHANNELS_COLOR[c], 0, 0, 1)
+    return (
+        MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_encode_16bit(arr16: np.ndarray, filter_type: int = 0) -> bytes:
+    """Fixture generator for 16-bit-depth truecolor/gray PNGs
+    (big-endian samples per spec §7.1). Filters 0/2 only — enough to
+    exercise the byte-unit (bpp = 2*c) unfilter path."""
+    arr16 = np.ascontiguousarray(arr16, dtype=np.uint16)
+    if arr16.ndim == 2:
+        arr16 = arr16[:, :, None]
+    h, w, c = arr16.shape
+    if c not in _CHANNELS_COLOR:
+        raise NotImplementedError(f"unsupported channel count {c}")
+    if filter_type not in (0, 2):
+        raise NotImplementedError("16-bit fixture filters: 0/2")
+    be = arr16.byteswap() if arr16.dtype.byteorder in ("<", "=") else arr16
+    rows = be.view(np.uint8).reshape(h, w * c * 2)
+    raw = bytearray()
+    prev = np.zeros(w * c * 2, np.uint8)
+    for y in range(h):
+        raw.append(filter_type)
+        line = rows[y] if filter_type == 0 else rows[y] - prev
+        raw += line.astype(np.uint8).tobytes()
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, _CHANNELS_COLOR[c], 0, 0, 0)
+    return (
+        MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )

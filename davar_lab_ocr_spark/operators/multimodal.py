@@ -9,10 +9,11 @@ unfilter) and baseline-sequential JPEG via the pure-numpy codec in
 functions/jpeg.py (Huffman entropy decode + IDCT + chroma upsample);
 the object-store fetch itself is a deterministic fake (fake_payload
 encodes pseudo-random pixels as PNG / paletted PNG / baseline or
-progressive JPEG by ref extension). Progressive (SOF2) JPEG and
-paletted (PLTE/tRNS) PNG decode for real as of r5; arithmetic-coded
-and 12-bit JPEG and interlaced/16-bit PNG stay honestly gated
-(NotImplementedError in the codec); a legacy raw (h, w, c)-header
+progressive JPEG by ref extension). Progressive (SOF2) JPEG,
+paletted (PLTE/tRNS) PNG, Adam7-interlaced PNG, and 16-bit PNG all
+decode for real as of r5; arithmetic-coded and 12-bit JPEG stay
+honestly gated (NotImplementedError in the codec); a legacy raw
+(h, w, c)-header
 payload form is still accepted for hand-crafted test inputs. The pixel
 KERNELS (quad crop, perspective rectification, bilinear resize) are
 real pure-numpy implementations (functions/image.py), and the

@@ -44,8 +44,9 @@ def test_unsupported_shapes_gated():
 
     from davar_lab_ocr_spark.functions.png import MAGIC, _chunk
 
-    # 16-bit depth IHDR must raise NotImplementedError, not mis-decode
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    # 16-bit and Adam7 are real as of r5; what remains gated is e.g.
+    # a bogus bit depth for the color type (palette at depth 16)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
     data = MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         png_meta(data)
@@ -96,6 +97,31 @@ def test_palette_sub_byte_filters_use_bpp1():
     b = png_decode(png_encode_palette(idx, palette, depth=4, filter_type=1))
     c = png_decode(png_encode_palette(idx, palette, depth=4, filter_type=2))
     assert np.array_equal(a, b) and np.array_equal(a, c)
+
+
+@pytest.mark.parametrize("shape", [(13, 21), (13, 21, 3), (16, 16, 4), (1, 1), (7, 9, 2)])
+def test_adam7_interlaced_roundtrip(shape):
+    """Adam7 decode: per-pass unfilter + scatter equals the source for
+    every channel count, including dims smaller than a full pass grid
+    (1x1 exercises the empty-pass skip)."""
+    from davar_lab_ocr_spark.functions.png import png_decode, png_encode_adam7
+
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = png_decode(png_encode_adam7(img))
+    ref = img[:, :, None] if img.ndim == 2 else img
+    assert np.array_equal(out, ref)
+
+
+def test_16bit_depth_high_byte():
+    from davar_lab_ocr_spark.functions.png import png_decode, png_encode_16bit, png_meta
+
+    rng = np.random.default_rng(9)
+    img16 = rng.integers(0, 65536, size=(11, 17, 3), dtype=np.uint16)
+    for ft in (0, 2):
+        data = png_encode_16bit(img16, filter_type=ft)
+        assert png_meta(data) == (11, 17, 3)
+        assert np.array_equal(png_decode(data), (img16 >> 8).astype(np.uint8))
 
 
 def test_palette_malformed_rejected():
