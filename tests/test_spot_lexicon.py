@@ -272,6 +272,66 @@ def test_spark_lexicon_eval_matches_brute_subset(spark):
     assert (agg["md"], agg["ms"], agg["g"], agg["d"]) == (md, ms, g, d)
 
 
+def test_global_lexicon_modes(spark):
+    """WEAK (624-word ch2 vocabulary) and GENERAL (87,622-word
+    GenericVocabulary) configs: the global-words broadcast mode of
+    lexicon_correct_stage, including the large-lexicon vectorized-DP
+    path. Spark-corrected texts equal a driver-side correction with
+    the same public rule on a 25-prediction sample; two GENERAL
+    corrections are additionally cross-checked against an independent
+    plain-python DP over the full 87k vocabulary."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.operators.spotting import (
+        lexicon_correct,
+        lexicon_correct_stage,
+        read_lexicon_txt,
+    )
+    from davar_lab_ocr_spark.sources.datalist import read_eval_archive
+
+    weak = read_lexicon_txt(
+        "/root/reference/demo/text_spotting/evaluation/lexicons/icdar2013/"
+        "ch2_test_vocabulary.txt"
+    )
+    assert len(weak) == 624
+    generic = read_lexicon_txt(
+        "/root/reference/demo/text_spotting/evaluation/lexicons/icdar2013/"
+        "GenericVocabulary.txt"
+    )
+    assert len(generic) == 87622
+
+    pred = (
+        read_eval_archive(spark, PRED_ZIP, has_conf=False)
+        .filter(F.col("doc_id").isin(["img_1", "img_2", "img_3", "img_4", "img_5"]))
+        .select("doc_id", "text")
+    )
+    sample = [r["text"] for r in pred.collect()]
+    assert len(sample) >= 15
+
+    from davar_lab_ocr_spark.operators.spotting import _encode_lexicon
+
+    for lex in (weak, generic):
+        got = {
+            (r["doc_id"], r["text"])
+            for r in lexicon_correct_stage(pred, words=lex).collect()
+        }
+        mat, lens = _encode_lexicon(lex)  # encode once driver-side
+        want = {
+            (r["doc_id"], lexicon_correct(r["text"], lex, mat, lens))
+            for r in pred.collect()
+        }
+        assert got == want
+
+    # independent full-87k cross-check on two correctable words
+    for probe in [t for t in sample if len(t) >= 3 and t.isalpha()][:2]:
+        best, word = 100, " "
+        for v in generic:
+            d = _plain_lev(probe.upper(), v.upper())
+            if d < best:
+                best, word = d, v
+        assert lexicon_correct(probe, generic) == word.replace(",", "")
+
+
 def test_brute_full_corpus_pinned_counts():
     """The full-corpus brute matches the pinned oracle counts AND the
     published None-run det figures (det metrics are lexicon-invariant)."""
