@@ -62,6 +62,28 @@ def test_shingling_is_join_free(spark):
         assert marker not in p
 
 
+def test_minhash_band_cap_uses_partitioned_window(spark):
+    """The r5 band-bucket cap computes its hot/cold split with window
+    functions PARTITIONED by (band, bkey) — one shuffle annotates the
+    rows; no broadcast-build passes, no partitionless window, and the
+    signature aggregation is not traversed multiple times via separate
+    broadcast anti/semi joins (the pre-r5 shape)."""
+    from davar_lab_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"common text body shared {i % 3}") for i in range(30)],
+        "doc_id int, text string",
+    )
+    p = _plan(minhash_lsh_pairs(df))
+    assert _partitionless_windows(p) == []
+    assert "windowspecdefinition(band" in p.replace("#", "").replace(" ", "") or (
+        "Window" in p
+    )
+    # the hot-key set no longer broadcasts: any BroadcastHashJoin in
+    # this plan would be the pre-r5 anti/semi shape
+    assert "BroadcastHashJoin" not in p
+
+
 def test_extract_has_single_shuffle(spark):
     from davar_lab_ocr_spark.corpus import make_raw_corpus, raw_df
     from davar_lab_ocr_spark.plans.extract import extract

@@ -273,7 +273,7 @@ def test_spark_lexicon_eval_matches_brute_subset(spark):
 
 
 def test_global_lexicon_modes(spark):
-    """WEAK (624-word ch2 vocabulary) and GENERAL (87,622-word
+    """WEAK (624-word ch2 vocabulary) and GENERAL (87,623-word
     GenericVocabulary) configs: the global-words broadcast mode of
     lexicon_correct_stage, including the large-lexicon vectorized-DP
     path. Spark-corrected texts equal a driver-side correction with
@@ -298,7 +298,7 @@ def test_global_lexicon_modes(spark):
         "/root/reference/demo/text_spotting/evaluation/lexicons/icdar2013/"
         "GenericVocabulary.txt"
     )
-    assert len(generic) == 87622
+    assert len(generic) == 87623  # 87622 newlines + unterminated last line
 
     pred = (
         read_eval_archive(spark, PRED_ZIP, has_conf=False)
