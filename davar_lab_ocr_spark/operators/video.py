@@ -286,6 +286,17 @@ def select_best_frame(track: list[str], scores: list[float]) -> tuple[int, list[
     return sel_frame, loc_by_frame[sel_frame], word_by_frame[sel_frame]
 
 
+def _seq_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The protocols iterate tracks in the source file's dict order;
+    a cogrouped kernel receives rows in arbitrary shuffle order, so
+    re-sort by the scan's ``seq`` column when present (fixture frames
+    without one are used with single-partition inputs whose order is
+    already the construction order)."""
+    if "seq" in pdf.columns and len(pdf):
+        return pdf.sort_values("seq", kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
 _FSCORE_VIDEO_SCHEMA = T.StructType(
     [
         T.StructField("video_id", T.StringType()),
@@ -311,6 +322,7 @@ def _fscore_one_video(pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame,
       don't-care match with NO IoU threshold applied;
     - the care-match branch requires iou >= thresh AND exact
       (uppercased-pred == snapped-gt) word equality."""
+    pred_pdf, gt_pdf = _seq_sorted(pred_pdf), _seq_sorted(gt_pdf)
     video_id = (
         pred_pdf["video_id"].iloc[0]
         if len(pred_pdf)
@@ -434,4 +446,159 @@ def fscore_track_eval(
             / (F.col("n_matched") / F.col("n_gt") + F.col("n_matched") / F.col("n_pred")),
             6,
         ).alias("hmean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ATA end-to-end track evaluation (average track accuracy)
+# ---------------------------------------------------------------------------
+# Reference: demo/videotext/evaluation/evaluate_ata.py (ATA) +
+# evaluate_utils.py load_gt_ata/load_pre_ata. Same shipped-data caveat
+# as F-score-R: the IC15 gt json is not in the repo, so the published
+# 0.6488/0.6258 cannot be re-run; evidence is the quirk fixture vs an
+# independent permutation-brute and a shipped-pred self-derived-gt run.
+
+_ATA_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("video_ata", T.DoubleType()),
+    ]
+)
+
+
+def _ata_one_video(pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame,
+                   care_rcg: bool) -> pd.DataFrame:
+    """The evaluate_ata.py per-video loop, quirks preserved:
+
+    - the match matrix counts frames with IoU >= 0.5 whose gt bbox is
+      not LOW quality and whose gt track is care ('###' rows keep a
+      zero match row but still occupy a Hungarian column);
+    - with care_rcg the frame only counts when the track's word equals
+      the (vocabulary-snapped) gt transcription;
+    - Hungarian maximizes the MATCH-COUNT matrix (not IoU);
+    - a pair whose gt is '###' counts as a consumed not-care pred iff
+      the max SPATIO-TEMPORAL IoU across the pred's whole matrix ROW
+      (any gt, not just the matched one) is >= 0.1;
+    - per matched care pair: stda += matches / |union of the pred's
+      frames and the gt's non-LOW frames| (pred frames matched to a
+      LOW gt bbox are excluded from the union);
+    - video ATA = stda / ((gt_care + pred_total - notcare_matched)/2).
+    """
+    from ..functions.assignment import hungarian_max
+    from .metrics import _prep_iou, _prep_poly
+
+    pred_pdf, gt_pdf = _seq_sorted(pred_pdf), _seq_sorted(gt_pdf)
+    video_id = (
+        pred_pdf["video_id"].iloc[0]
+        if len(pred_pdf)
+        else (gt_pdf["video_id"].iloc[0] if len(gt_pdf) else "")
+    )
+    voca = []
+    if len(gt_pdf) and "words" in gt_pdf.columns:
+        wv = gt_pdf["words"].iloc[0]
+        if wv is not None and len(wv):
+            voca = list(wv)
+
+    def quad(pts):
+        return _prep_poly(np.asarray(pts, dtype=np.float64).reshape(4, 2))
+
+    gt_rows = list(gt_pdf.itertuples())
+    gt_locs, gt_quality, gt_trans = [], [], []
+    gt_notcare = 0
+    for r in gt_rows:
+        trans = snap_gt_trans(r.trans, voca) if voca else r.trans
+        if trans == "###":
+            gt_notcare += 1
+        locs, qual = {}, {}
+        for inst in r.track:
+            frame, q, pts = parse_gt_instance(inst)
+            locs[frame] = quad(pts)
+            qual[frame] = q
+        gt_locs.append(locs)
+        gt_quality.append(qual)
+        gt_trans.append(trans)
+
+    pr_rows = list(pred_pdf.itertuples())
+    pr_locs, pr_words = [], []
+    for p in pr_rows:
+        locs = {}
+        for inst in p.track:
+            frame, pts, _w = parse_pred_instance(inst)
+            locs[frame] = quad(pts)
+        pr_locs.append(locs)
+        pr_words.append(str(p.text).upper() if p.text is not None else "555")
+
+    tn, gn = len(pr_locs), len(gt_locs)
+    if tn == 0 and gn == 0:
+        return pd.DataFrame({"video_id": [video_id], "video_ata": [0.0]})
+    dim = max(tn, gn, 1)
+    match_mat = np.zeros((dim, dim))
+    iou_mat = np.zeros((dim, dim))
+    for ti in range(tn):
+        for gi in range(gn):
+            st_iou = 0.0
+            matches = 0
+            for frame, ppoly in pr_locs[ti].items():
+                gpoly = gt_locs[gi].get(frame)
+                if gpoly is None:
+                    continue
+                iou = _prep_iou(ppoly, gpoly)
+                st_iou += iou
+                if iou >= 0.5 and gt_quality[gi][frame] != "LOW" and gt_trans[gi] != "###":
+                    if not care_rcg or pr_words[ti] == gt_trans[gi]:
+                        matches += 1
+            match_mat[ti, gi] = matches
+            iou_mat[ti, gi] = st_iou
+
+    row_ind, col_ind = hungarian_max(match_mat)
+    stda = 0.0
+    notcare_matched = 0
+    for ti, gi in zip(row_ind, col_ind):
+        if ti >= tn or gi >= gn:  # imaginary row/column padding
+            continue
+        if gt_trans[gi] == "###":
+            if np.max(iou_mat[ti, :]) >= 0.1:
+                notcare_matched += 1
+            continue
+        gt_frames = [f for f in gt_locs[gi] if gt_quality[gi][f] != "LOW"]
+        pr_frames = [
+            f
+            for f in pr_locs[ti]
+            if f not in gt_locs[gi] or gt_quality[gi][f] != "LOW"
+        ]
+        union = len(set(pr_frames) | set(gt_frames))
+        if union > 0:
+            stda += float(match_mat[ti, gi]) / union
+    denom = (gn - gt_notcare + tn - notcare_matched) / 2.0
+    ata = stda / denom if denom > 0 else 0.0
+    return pd.DataFrame({"video_id": [video_id], "video_ata": [ata]})
+
+
+def ata_track_eval(
+    pred: DataFrame,
+    gt: DataFrame,
+    voca: DataFrame | None = None,
+    care_rcg: bool = True,
+) -> DataFrame:
+    """Corpus ATA: per-video Hungarian sequence matching in a
+    cogrouped applyInPandas (tracks per video are small; the corpus is
+    many videos), then ONE global average — (n_videos, ata). Same
+    input schemas as fscore_track_eval."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import broadcast
+
+    if voca is not None:
+        gt = gt.join(broadcast(voca), "video_id", "left")
+
+    def run(key, pred_pdf, gt_pdf):
+        return _ata_one_video(pred_pdf, gt_pdf, care_rcg)
+
+    per_video = (
+        pred.groupBy("video_id")
+        .cogroup(gt.groupBy("video_id"))
+        .applyInPandas(run, schema=_ATA_VIDEO_SCHEMA)
+    )
+    return per_video.agg(
+        F.count("*").alias("n_videos"),
+        F.round(F.avg("video_ata"), 6).alias("ata"),
     )

@@ -438,6 +438,7 @@ def read_track_results(spark: SparkSession, path: str) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("video_id", T.StringType()),
+            T.StructField("seq", T.IntegerType()),
             T.StructField("track_id", T.StringType()),
             T.StructField("track", T.ArrayType(T.StringType())),
             T.StructField("scores", T.ArrayType(T.DoubleType())),
@@ -449,10 +450,11 @@ def read_track_results(spark: SparkSession, path: str) -> DataFrame:
         for batch in batches:
             for buf in batch.column("content").to_pylist():
                 data = _json.loads(buf.decode("utf-8"))
-                vids, tids, tracks, scores, texts = [], [], [], [], []
+                vids, seqs, tids, tracks, scores, texts = [], [], [], [], [], []
                 for video_id, track_map in data.items():
-                    for track_id, rec in track_map.items():
+                    for i, (track_id, rec) in enumerate(track_map.items()):
                         vids.append(video_id)
+                        seqs.append(i)
                         tids.append(str(track_id))
                         tracks.append(list(rec["track"]))
                         scores.append(
@@ -464,12 +466,13 @@ def read_track_results(spark: SparkSession, path: str) -> DataFrame:
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(vids, pa.string()),
+                        pa.array(seqs, pa.int32()),
                         pa.array(tids, pa.string()),
                         pa.array(tracks, pa.list_(pa.string())),
                         pa.array(scores, pa.list_(pa.float64())),
                         pa.array(texts, pa.string()),
                     ],
-                    names=["video_id", "track_id", "track", "scores", "text"],
+                    names=["video_id", "seq", "track_id", "track", "scores", "text"],
                 )
 
     return files.mapInArrow(run, schema=schema)

@@ -175,7 +175,8 @@ def test_fscore_track_eval_quirks(spark):
         "scores array<double>, text string",
     )
     gt = spark.createDataFrame(
-        gt_rows, "video_id string, gt_id string, trans string, track array<string>"
+        [(r[0], i, *r[1:]) for i, r in enumerate(gt_rows)],
+        "video_id string, seq int, gt_id string, trans string, track array<string>",
     )
     voca = spark.createDataFrame(voca_rows, "video_id string, words array<string>")
 
@@ -212,9 +213,9 @@ def test_fscore_on_shipped_pred_with_derived_gt(spark):
 
     kept_ids = {(vid, t[0]) for vid, ts in keep.items() for t in ts}
     gt_rows = [
-        (vid, f"g{t[0]}", t[3], [_mk_gt_inst(t[1], t[2])])
+        (vid, i, f"g{t[0]}", t[3], [_mk_gt_inst(t[1], t[2])])
         for vid, ts in keep.items()
-        for t in ts
+        for i, t in enumerate(ts)
     ]
     del kept_ids  # all preds stay in: non-kept preds' selected frames
     # were dropped from the gt entirely (frame collision), so they can
@@ -222,7 +223,8 @@ def test_fscore_on_shipped_pred_with_derived_gt(spark):
     # accounts for them identically
     pred = read_track_results(spark, PRED_FILE)
     gt = spark.createDataFrame(
-        gt_rows, "video_id string, gt_id string, trans string, track array<string>"
+        gt_rows,
+        "video_id string, seq int, gt_id string, trans string, track array<string>",
     )
     row = fscore_track_eval(pred, gt).collect()[0]
 
@@ -238,20 +240,20 @@ def test_fscore_on_shipped_pred_with_derived_gt(spark):
     def brute():
         total_m, total_p, total_g = 0, 0, 0
         for vid, tracks in raw.items():
-            gts = [g for g in gt_rows if g[0] == vid]
-            gt_state = {g[1]: 0 for g in gts}
+            gts = sorted((g for g in gt_rows if g[0] == vid), key=lambda g: g[1])
+            gt_state = {g[2]: 0 for g in gts}
             gt_loc = {
-                g[1]: (int(g[3][0].split(",", 2)[0]), g[3][0].rsplit(",", 2)[-1])
+                g[2]: (int(g[4][0].split(",", 2)[0]), g[4][0].rsplit(",", 2)[-1])
                 for g in gts
             }
-            gt_trans = {g[1]: g[2] for g in gts}
+            gt_trans = {g[2]: g[3] for g in gts}
             label_order = []
             label_map = {}
             for g in gts:
-                if g[2] not in label_map:
-                    label_map[g[2]] = []
-                    label_order.append(g[2])
-                label_map[g[2]].append(g[1])
+                if g[3] not in label_map:
+                    label_map[g[3]] = []
+                    label_order.append(g[3])
+                label_map[g[3]].append(g[2])
             pre = {}
             for tid, rec in tracks.items():
                 f, pts, _w = select_best_frame(rec["track"], rec["scores"])
@@ -329,3 +331,111 @@ def test_fscore_on_shipped_pred_with_derived_gt(spark):
     # sanity: the derived-gt construction makes a large majority of the
     # unique-frame tracks match (500 exactly on the shipped file)
     assert em >= 500 and eg <= 798
+
+
+def test_hungarian_matches_permutation_brute():
+    import itertools
+
+    from davar_lab_ocr_spark.functions.assignment import hungarian_max
+
+    rng = np.random.default_rng(23)
+    for _ in range(50):
+        n = int(rng.integers(1, 6))
+        m = rng.random((n, n)) * 5
+        r, c = hungarian_max(m)
+        best = max(
+            sum(m[i, p[i]] for i in range(n))
+            for p in itertools.permutations(range(n))
+        )
+        assert abs(m[r, c].sum() - best) < 1e-9
+
+
+def test_ata_track_eval_quirks(spark):
+    """evaluate_ata.py semantics on a hand-built fixture with
+    HAND-DERIVED expectations (unique-optimum construction, so
+    assignment tie-breaking cannot differ; the Hungarian itself is
+    verified against a permutation brute in the test above):
+
+    vA: two preds, two gts, identical boxes -> each pair matches all
+        its frames; one gt has a LOW-quality middle frame (excluded
+        from matches AND union); video ata = (1 + 1) / ((2+2)/2) = 1.0
+    vB: pred overlaps a '###' gt at full IoU -> consumed as not-care
+        (max row st-IoU >= 0.1), denominator shrinks; second pred has
+        no gt -> false positive; ata = 0 / ((0 + 2 - 1)/2) = 0.0
+    vC: care_rcg: word mismatch zeroes the match count but the union
+        still divides -> ata 0 with care_rcg=True, 1.0 with False
+    """
+    from davar_lab_ocr_spark.operators.video import ata_track_eval
+
+    def track_rows(frames, pts, word):
+        return [_mk_pred_inst(f, pts, word.lower()) for f in frames]
+
+    def gt_track(frames, pts, quality=None):
+        quality = quality or ["HIGH"] * len(frames)
+        return [_mk_gt_inst(f, pts, q) for f, q in zip(frames, quality)]
+
+    pred_rows = [
+        ("vA", "p0", track_rows([1, 2, 3], _rect(0, 0, 50, 20), "AAA"),
+         [0.9, 0.8, 0.7], "AAA"),
+        ("vA", "p1", track_rows([1, 2, 3], _rect(200, 0, 50, 20), "BBB"),
+         [0.9, 0.8, 0.7], "BBB"),
+        ("vB", "p0", track_rows([5], _rect(0, 0, 30, 30), "XXX"),
+         [0.9], "XXX"),
+        ("vB", "p1", track_rows([9], _rect(900, 900, 30, 30), "YYY"),
+         [0.9], "YYY"),
+        ("vC", "p0", track_rows([1, 2], _rect(0, 0, 40, 20), "WRONG"),
+         [0.9, 0.8], "WRONG"),
+    ]
+    gt_rows = [
+        ("vA", 0, "g0", "AAA", gt_track([1, 2, 3], _rect(0, 0, 50, 20))),
+        ("vA", 1, "g1", "BBB",
+         gt_track([1, 2, 3], _rect(200, 0, 50, 20), ["HIGH", "LOW", "HIGH"])),
+        ("vB", 0, "g0", "###", gt_track([5], _rect(0, 0, 30, 30))),
+        ("vC", 0, "g0", "RIGHT", gt_track([1, 2], _rect(0, 0, 40, 20))),
+    ]
+    pred = spark.createDataFrame(
+        pred_rows,
+        "video_id string, track_id string, track array<string>, "
+        "scores array<double>, text string",
+    )
+    gt = spark.createDataFrame(
+        gt_rows,
+        "video_id string, seq int, gt_id string, trans string, track array<string>",
+    )
+    row = ata_track_eval(pred, gt, care_rcg=True).collect()[0]
+    # hand-derivation: vA = (3/3 + 2/2)/((2+2)/2) = 1.0;
+    # vB = 0/((0+2-1)/2) = 0.0; vC word mismatch = 0.0
+    assert row["n_videos"] == 3
+    assert row["ata"] == pytest.approx((1.0 + 0.0 + 0.0) / 3, abs=1e-6)
+    row2 = ata_track_eval(pred, gt, care_rcg=False).collect()[0]
+    # vC now matches both frames -> 2/2 = 1.0
+    assert row2["ata"] == pytest.approx((1.0 + 0.0 + 1.0) / 3, abs=1e-6)
+
+
+def test_ata_on_shipped_pred_identity_gt(spark):
+    """Shipped 798-track pred vs a gt derived as an exact copy (all
+    frames HIGH quality, trans = text.upper()): every optimal
+    assignment pairs value-identical tracks, each contributing
+    stda = 1, so ATA must be exactly 1.0 over all 15 videos."""
+    import pyspark.sql.functions as F
+
+    from davar_lab_ocr_spark.operators.video import ata_track_eval, parse_pred_instance
+    from davar_lab_ocr_spark.sources.datalist import read_track_results
+
+    raw = json.load(open(PRED_FILE))
+    gt_rows = []
+    for vid, tracks in raw.items():
+        for i, (tid, rec) in enumerate(tracks.items()):
+            insts = []
+            for inst in rec["track"]:
+                f, pts, _w = parse_pred_instance(inst)
+                insts.append(_mk_gt_inst(f, pts))
+            gt_rows.append((vid, i, f"g{tid}", rec["text"].upper(), insts))
+    gt = spark.createDataFrame(
+        gt_rows,
+        "video_id string, seq int, gt_id string, trans string, track array<string>",
+    )
+    pred = read_track_results(spark, PRED_FILE)
+    row = ata_track_eval(pred, gt, care_rcg=True).collect()[0]
+    assert row["n_videos"] == 15
+    assert row["ata"] == pytest.approx(1.0, abs=1e-6)
