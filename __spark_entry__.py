@@ -1063,6 +1063,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["track_ata_eval"] = track_ata_eval
 
+    def track_mot_eval(spark, sf):
+        # MOTA/MOTP protocol (evaluate_mot.py parity: per-frame
+        # Hungarian on IoU, per-instance care rules, id-switch tracking
+        # with the empty-frame mapping reset) on the shipped pred with
+        # an identity-derived gt — analytically zero FP/FN/switches and
+        # MOTP = MOTA = 1.0; tp = n_gt = the 27,810 care instances
+        # (word >= 3 chars, no '###', per-frame last-wins dedup),
+        # derivable from the pred file without running the matcher
+        import json as _json
+
+        from davar_lab_ocr_spark.operators.video import (
+            mot_track_eval,
+            parse_pred_instance,
+        )
+        from davar_lab_ocr_spark.sources.datalist import read_track_results
+
+        pred_file = (
+            "/root/reference/demo/videotext/evaluation/pred/"
+            "IC15_pred_recommder_result.json"
+        )
+        raw = _json.loads(open(pred_file, "rb").read().decode("utf-8"))
+        gt_rows = []
+        for vid, tracks in raw.items():
+            for i, (tid, rec) in enumerate(tracks.items()):
+                per_frame = {}
+                for inst in rec["track"]:
+                    f, pts, _w = parse_pred_instance(inst)
+                    per_frame[f] = pts
+                word = rec["text"].upper()
+                insts = [
+                    f"{f},{word},HIGH," + "_".join(str(int(v)) for v in pts)
+                    for f, pts in per_frame.items()
+                ]
+                gt_rows.append((vid, i, f"g{tid}", word, insts))
+        gt = spark.createDataFrame(
+            gt_rows,
+            "video_id string, seq int, gt_id string, trans string, track array<string>",
+        )
+        return mot_track_eval(read_track_results(spark, pred_file), gt)
+
+    q["track_mot_eval"] = track_mot_eval
+
     def html_main_content(spark, sf):
         # synthesize boilerplate-wrapped pages from documents, then
         # strip back to main content — expected spans derive from the
@@ -1381,12 +1423,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness rows for the FIRST 50 entries; the
     # out-of-window tail ROTATES each round so every registered query
     # has a driver row at most one round old (VERDICT r3 next-round #8).
-    # Round 5 tail (17 entries; EVERY one driver-green in r4's window,
+    # Round 5 tail (18 entries; EVERY one driver-green in r4's window,
     # CORRECTNESS_r04, so nothing is ever more than one round stale):
     # the whole r4 tail rotates back into the window along with the three
     # NEW queries (media_decode_variants, track_fscore_eval,
-    # spot_lexicon_eval, track_ata_eval), pushing
-    # 17 r4-green entries out. Family pinning for the rotated-out set: the media/codec path
+    # spot_lexicon_eval, track_ata_eval, track_mot_eval), pushing
+    # 18 r4-green entries out. Family pinning for the rotated-out set: the media/codec path
     # is pinned by media_decode_variants (progressive JPEG + paletted
     # PNG with full pixel decode) and media_transform in-window; text
     # stats by token_stats/quality_score/repetition_stats/
@@ -1413,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize",  # session family stays pinned by session_tracks
         "iou_match_join",  # IoU matching pinned by det_hmean_fixture +
                            # the published det evals in-window
+        "kv_pairing",  # IE family pinned by token_f1 + wildreceipt golden
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     assert len(ordered) <= 50, f"driver window overflow: {len(ordered)} primary queries"
@@ -2315,6 +2358,12 @@ def oracle_sql() -> dict[str, str]:
         # pair, so corpus ATA is exactly 1.0 over the 15 videos
         "track_ata_eval": """
             SELECT 15 AS n_videos, 1.0 AS ata
+        """,
+        # ANALYTIC oracle: identity gt -> IoU-1 pairs, stable mapping;
+        # tp = n_gt = care instances countable WITHOUT the matcher
+        "track_mot_eval": """
+            SELECT 27810 AS tp, 0 AS fp, 0 AS fn, 0 AS idsw,
+                   27810 AS n_gt, 1.0 AS motp, 1.0 AS mota
         """,
         # fixture oracles — provenance varies per fixture (documented in
         # tools/make_expected_fixtures.py): flagship/resume/fullchain/

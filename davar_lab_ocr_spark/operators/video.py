@@ -602,3 +602,222 @@ def ata_track_eval(
         F.count("*").alias("n_videos"),
         F.round(F.avg("video_ata"), 6).alias("ata"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MOT end-to-end track evaluation (MOTA / MOTP)
+# ---------------------------------------------------------------------------
+# Reference: demo/videotext/evaluation/evaluate_mot.py + evaluate_utils
+# load_gt_mot:251/load_pre_mot:334. Same shipped-data caveat as the
+# other two protocols (gt json absent; published 0.7375/0.7171 and
+# 0.7394/0.6787 not re-runnable).
+
+_MOT_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("tp", T.LongType()),
+        T.StructField("fp", T.LongType()),
+        T.StructField("fn", T.LongType()),
+        T.StructField("idsw", T.LongType()),
+        T.StructField("n_gt", T.LongType()),
+        T.StructField("iou_sum", T.DoubleType()),
+    ]
+)
+
+
+def _mot_one_video(pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame,
+                   care_rcg: bool) -> pd.DataFrame:
+    """The evaluate_mot.py per-video frame loop, quirks preserved:
+
+    - per-INSTANCE care: 0 when the (snapped) track trans is '###', the
+      instance's own trans field is '###' or shorter than 3 chars, or
+      the instance quality is LOW;
+    - frames with neither preds nor gts RESET the identity mapping
+      (premapping = {});
+    - per-frame Hungarian maximizes the IoU matrix; pads to square —
+      imaginary-track matches on care gts are FN, imaginary-gt matches
+      are FP;
+    - TP needs IoU STRICTLY > 0.5 (and word equality under care_rcg,
+      else the pair counts FP); care-0 pairs count FP only under
+      IoU < 0.1; id switches compare against the inherited mapping;
+    - when a frame has gts but NO mapped pairs, the previous mapping
+      carries over wholesale; gt ids present in the frame but unmapped
+      inherit their previous track id."""
+    from ..functions.assignment import hungarian_max
+    from .metrics import _prep_iou, _prep_poly
+
+    pred_pdf, gt_pdf = _seq_sorted(pred_pdf), _seq_sorted(gt_pdf)
+    video_id = (
+        pred_pdf["video_id"].iloc[0]
+        if len(pred_pdf)
+        else (gt_pdf["video_id"].iloc[0] if len(gt_pdf) else "")
+    )
+    voca = []
+    if len(gt_pdf) and "words" in gt_pdf.columns:
+        wv = gt_pdf["words"].iloc[0]
+        if wv is not None and len(wv):
+            voca = list(wv)
+
+    def quad(pts):
+        return _prep_poly(np.asarray(pts, dtype=np.float64).reshape(4, 2))
+
+    start_f, end_f = 10**7, -1
+    gt_frame_boxes: dict[int, list] = {}  # frame -> [(gt_id, prep)]
+    gt_frame_care: dict[int, list] = {}   # frame -> [care]
+    gt_trans: dict[str, str] = {}
+    for r in gt_pdf.itertuples():
+        trans = snap_gt_trans(r.trans, voca) if voca else r.trans
+        gt_trans[r.gt_id] = trans
+        for inst in r.track:
+            frame = int(inst.split(",", 2)[0])
+            inst_trans = inst.split(",", 1)[1].rsplit(",", 2)[0]
+            quality = inst.rsplit(",", 2)[-2]
+            pts = [int(v) for v in inst.rsplit(",", 2)[-1].split("_")[:8]]
+            start_f, end_f = min(start_f, frame), max(end_f, frame)
+            care = 0 if (
+                trans == "###" or inst_trans == "###" or quality == "LOW"
+                or len(inst_trans) < 3
+            ) else 1
+            gt_frame_boxes.setdefault(frame, []).append((r.gt_id, quad(pts)))
+            gt_frame_care.setdefault(frame, []).append(care)
+
+    pr_frame_boxes: dict[int, list] = {}  # frame -> [(track_id, prep)]
+    pr_words: dict[str, str] = {}
+    for p in pred_pdf.itertuples():
+        word = str(p.text).upper() if p.text is not None else "555"
+        pr_words[p.track_id] = word
+        # two-phase like load_pre_mot: per-track dict first (last
+        # instance per frame wins), THEN one append per frame in track
+        # order — a mid-track duplicate frame must not move the box to
+        # the end of the frame's row list (Hungarian row order)
+        per_frame: dict[int, list] = {}
+        for inst in p.track:
+            frame, pts, _w = parse_pred_instance(inst)
+            per_frame[frame] = pts
+        for frame, pts in per_frame.items():
+            pr_frame_boxes.setdefault(frame, []).append(
+                (p.track_id, quad(pts))
+            )
+
+    tp = fp = fn = idsw = n_gt = 0
+    iou_sum = 0.0
+    premapping: dict[str, str] = {}
+    for frame in range(start_f, end_f + 1) if end_f >= start_f else []:
+        trk = pr_frame_boxes.get(frame, [])
+        gts = gt_frame_boxes.get(frame, [])
+        cares = gt_frame_care.get(frame, [])
+        if not trk and not gts:
+            premapping = {}
+            continue
+        n_gt += sum(cares)
+        tn, gn = len(trk), len(gts)
+        dim = max(tn, gn)
+        iou_mat = np.zeros((dim, dim))
+        for ti in range(tn):
+            for gi in range(gn):
+                iou_mat[ti, gi] = _prep_iou(trk[ti][1], gts[gi][1])
+        row_ind, col_ind = hungarian_max(iou_mat)
+        mapping: dict[str, str] = {}
+        mapped_iou: dict[str, float] = {}
+        mapped_care: dict[str, int] = {}
+        for ti, gi in zip(row_ind, col_ind):
+            if ti >= tn:  # imaginary track -> FN on care gts
+                if cares[gi] == 1:
+                    fn += 1
+                continue
+            if gi >= gn:  # imaginary gt -> FP
+                fp += 1
+                continue
+            gt_id = gts[gi][0]
+            mapping[gt_id] = trk[ti][0]
+            mapped_iou[gt_id] = float(iou_mat[ti, gi])
+            mapped_care[gt_id] = cares[gi]
+
+        def judge(check_switch: bool):
+            nonlocal tp, fp, idsw, iou_sum
+            for gt_id, track_id in mapping.items():
+                if mapped_care[gt_id] == 1:
+                    if mapped_iou[gt_id] > 0.5:
+                        if care_rcg:
+                            if gt_trans[gt_id] == pr_words[track_id]:
+                                tp += 1
+                                iou_sum += mapped_iou[gt_id]
+                            else:
+                                fp += 1
+                        else:
+                            tp += 1
+                            iou_sum += mapped_iou[gt_id]
+                        if check_switch and gt_id in premapping and \
+                                premapping[gt_id] != track_id:
+                            idsw += 1
+                    else:
+                        fp += 1
+                else:
+                    if mapped_iou[gt_id] < 0.1:
+                        fp += 1
+
+        if mapping and premapping:
+            judge(check_switch=True)
+        elif mapping:
+            judge(check_switch=False)
+        elif premapping:
+            mapping = premapping
+        for gt_id, _prep in gts:
+            if gt_id not in mapping and gt_id in premapping:
+                mapping[gt_id] = premapping[gt_id]
+        premapping = mapping
+
+    return pd.DataFrame(
+        {
+            "video_id": [video_id],
+            "tp": [tp], "fp": [fp], "fn": [fn], "idsw": [idsw],
+            "n_gt": [n_gt], "iou_sum": [iou_sum],
+        }
+    )
+
+
+def mot_track_eval(
+    pred: DataFrame,
+    gt: DataFrame,
+    voca: DataFrame | None = None,
+    care_rcg: bool = True,
+) -> DataFrame:
+    """Corpus MOTA/MOTP: per-video frame-sequential matching in a
+    cogrouped applyInPandas, then ONE global aggregation —
+    (tp, fp, fn, idsw, n_gt, motp, mota). Same input schemas as the
+    other two protocols."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import broadcast
+
+    if voca is not None:
+        gt = gt.join(broadcast(voca), "video_id", "left")
+
+    def run(key, pred_pdf, gt_pdf):
+        return _mot_one_video(pred_pdf, gt_pdf, care_rcg)
+
+    per_video = (
+        pred.groupBy("video_id")
+        .cogroup(gt.groupBy("video_id"))
+        .applyInPandas(run, schema=_MOT_VIDEO_SCHEMA)
+    )
+    tot = per_video.agg(
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        F.sum("idsw").alias("idsw"),
+        F.sum("n_gt").alias("n_gt"),
+        F.sum("iou_sum").alias("iou_sum"),
+    )
+    return tot.select(
+        "tp", "fp", "fn", "idsw", "n_gt",
+        F.round(
+            F.when(F.col("tp") > 0, F.col("iou_sum") / F.col("tp")).otherwise(0.0), 6
+        ).alias("motp"),
+        F.round(
+            F.when(
+                F.col("n_gt") > 0,
+                1.0 - (F.col("fn") + F.col("fp") + F.col("idsw")) / F.col("n_gt"),
+            ).otherwise(1.0),
+            6,
+        ).alias("mota"),
+    )

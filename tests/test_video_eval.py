@@ -439,3 +439,98 @@ def test_ata_on_shipped_pred_identity_gt(spark):
     row = ata_track_eval(pred, gt, care_rcg=True).collect()[0]
     assert row["n_videos"] == 15
     assert row["ata"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_mot_track_eval_quirks(spark):
+    """evaluate_mot.py semantics on a hand-built fixture; expectations
+    hand-derived:
+
+    vA: one gt over frames 1-4, covered by pred pA (1-2) then pB (3-4)
+        with the same box -> 4 TPs and exactly one id switch
+    vB: a care-0 gt instance (word 'ab' < 3 chars) matched at IoU 1
+        contributes nothing; a care gt with no pred is one FN
+    vC: word mismatch -> FP per frame under care_rcg, TP without
+    vD: an empty frame between two pred tracks RESETS the identity
+        mapping -> the handover after the gap is NOT an id switch
+    """
+    from davar_lab_ocr_spark.operators.video import mot_track_eval
+
+    box = _rect(0, 0, 50, 20)
+    far = _rect(300, 300, 50, 20)
+
+    def gt_insts(frames, pts, word="WORD", quality="HIGH"):
+        return [f"{f},{word},{quality}," + "_".join(str(int(v)) for v in pts)
+                for f in frames]
+
+    def pr_insts(frames, pts, word="word"):
+        return [_mk_pred_inst(f, pts, word) for f in frames]
+
+    pred_rows = [
+        ("vA", "pA", pr_insts([1, 2], box), [0.9, 0.9], "WORD"),
+        ("vA", "pB", pr_insts([3, 4], box), [0.9, 0.9], "WORD"),
+        ("vB", "pS", pr_insts([1], box), [0.9], "AB"),
+        ("vC", "p0", pr_insts([1, 2], box), [0.9, 0.9], "WRONG"),
+        ("vD", "pA", pr_insts([1, 2], box), [0.9, 0.9], "WORD"),
+        ("vD", "pB", pr_insts([4, 5], box), [0.9, 0.9], "WORD"),
+    ]
+    gt_rows = [
+        ("vA", 0, "g0", "WORD", gt_insts([1, 2, 3, 4], box)),
+        ("vB", 0, "g0", "AB", gt_insts([1], box, word="ab")),
+        ("vB", 1, "g1", "XYZ", gt_insts([1], far, word="xyz")),
+        ("vC", 0, "g0", "RIGHT", gt_insts([1, 2], box, word="right")),
+        ("vD", 0, "g0", "WORD", gt_insts([1, 2], box) + gt_insts([4, 5], box)),
+    ]
+    pred = spark.createDataFrame(
+        pred_rows,
+        "video_id string, track_id string, track array<string>, "
+        "scores array<double>, text string",
+    )
+    gt = spark.createDataFrame(
+        gt_rows,
+        "video_id string, seq int, gt_id string, trans string, track array<string>",
+    )
+    row = mot_track_eval(pred, gt, care_rcg=True).collect()[0]
+    assert (row["tp"], row["fp"], row["fn"], row["idsw"], row["n_gt"]) == (
+        8, 2, 1, 1, 11
+    )
+    assert row["motp"] == pytest.approx(1.0, abs=1e-6)
+    assert row["mota"] == pytest.approx(1 - 4 / 11, abs=1e-6)
+    row2 = mot_track_eval(pred, gt, care_rcg=False).collect()[0]
+    assert (row2["tp"], row2["fp"], row2["idsw"]) == (10, 0, 1)
+    assert row2["mota"] == pytest.approx(1 - 2 / 11, abs=1e-6)
+
+
+def test_mot_on_shipped_pred_identity_gt(spark):
+    """Shipped 798-track pred vs an identity-derived gt (per-frame
+    last-wins dedup mirrored, instance word = final text, HIGH
+    quality): every frame's Hungarian pairs identical boxes at IoU
+    1.0, words match, mapping never switches -> MOTP = MOTA = 1.0 and
+    zero FP/FN/switches; n_gt counts only care instances (words >= 3
+    chars, no '###')."""
+    from davar_lab_ocr_spark.operators.video import mot_track_eval, parse_pred_instance
+    from davar_lab_ocr_spark.sources.datalist import read_track_results
+
+    raw = json.load(open(PRED_FILE))
+    gt_rows = []
+    for vid, tracks in raw.items():
+        for i, (tid, rec) in enumerate(tracks.items()):
+            per_frame = {}
+            for inst in rec["track"]:
+                f, pts, _w = parse_pred_instance(inst)
+                per_frame[f] = pts
+            word = rec["text"].upper()
+            insts = [
+                f"{f},{word},HIGH," + "_".join(str(int(v)) for v in pts)
+                for f, pts in per_frame.items()
+            ]
+            gt_rows.append((vid, i, f"g{tid}", word, insts))
+    gt = spark.createDataFrame(
+        gt_rows,
+        "video_id string, seq int, gt_id string, trans string, track array<string>",
+    )
+    pred = read_track_results(spark, PRED_FILE)
+    row = mot_track_eval(pred, gt, care_rcg=True).collect()[0]
+    assert row["fp"] == 0 and row["fn"] == 0 and row["idsw"] == 0
+    assert row["motp"] == pytest.approx(1.0, abs=1e-6)
+    assert row["mota"] == pytest.approx(1.0, abs=1e-6)
+    assert row["tp"] == row["n_gt"] > 0
