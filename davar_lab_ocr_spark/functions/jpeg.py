@@ -1,20 +1,24 @@
-"""Pure-numpy baseline JPEG codec — no PIL/cv2 in this environment.
+"""Pure-numpy JPEG codec — no PIL/cv2 in this environment.
 
-Decode: baseline sequential DCT per the public JPEG specification
-(ITU-T T.81): marker parse (SOI/APPn/COM/DQT/SOF0/SOF1/DHT/DRI/SOS),
-Huffman entropy decode with byte stuffing and restart markers, DC
-differential + AC run-length/EOB/ZRL coefficient decode, dequantize +
-de-zigzag, 8x8 inverse DCT (orthonormal matrix product), chroma
-upsampling for 4:2:0 / 4:2:2, and JFIF YCbCr->RGB. Components with
-sampling factors up to the spec's 4x4 are handled generically.
-Progressive (SOF2), arithmetic coding, hierarchical, 12-bit precision,
-and non-interleaved multi-component scans stay honestly gated
+Decode: Huffman DCT JPEG per the public specification (ITU-T T.81),
+baseline sequential (SOF0/SOF1) AND progressive (SOF2): marker parse
+(SOI/APPn/COM/DQT/SOF/DHT/DRI/SOS), Huffman entropy decode with byte
+stuffing and restart markers, every scan kind — interleaved and
+non-interleaved (A.2.2: 1-component scans ignore sampling factors),
+spectral selection, successive approximation DC/AC first + refinement
+with EOBRUN — accumulated into per-component coefficient arrays, then
+ONE batched-einsum dequantize + de-zigzag + inverse DCT pass, chroma
+upsampling for 4:2:0 / 4:2:2, and JFIF YCbCr->RGB. Arithmetic coding,
+hierarchical, and 12-bit precision stay honestly gated
 (NotImplementedError).
 
 Encode (fixture generator): baseline JFIF with the T.81 Annex K
 quantization + Huffman tables, IJG quality scaling, optional 4:2:0
-chroma subsampling. The decoder reads DQT/DHT from the stream, so
-roundtrips exercise the real entropy layer end-to-end.
+chroma subsampling and restart intervals; progressive via
+jpeg_encode_progressive (spectral-selection x successive-approximation
+scan script, per-scan flat Huffman tables, optional restart
+intervals). The decoder reads DQT/DHT from the stream, so roundtrips
+exercise the real entropy layer end-to-end.
 
 Mirrors the reference's image source expectations
 (davar_loading.py:26-88 reads JPEG corpora via mmcv/cv2); the codec
@@ -434,6 +438,9 @@ class _SymCounter:
     def bits(self, v: int, n: int) -> None:
         pass
 
+    def restart(self, n: int) -> None:
+        pass
+
 
 class _SymEmitter:
     """Second-pass emitter: symbols through a per-scan Huffman code,
@@ -451,6 +458,10 @@ class _SymEmitter:
         if n:
             self.bw.write(v, n)
 
+    def restart(self, n: int) -> None:
+        self.bw.flush()
+        self.bw.out += bytes([0xFF, 0xD0 + n % 8])
+
 
 def _flat_table(symbols: set) -> tuple[list[int], list[int]]:
     """(bits, vals) DHT spec assigning every symbol an 8-bit code —
@@ -464,8 +475,33 @@ def _flat_table(symbols: set) -> tuple[list[int], list[int]]:
     return bits, vals
 
 
-def _scan_dc_first(em, blocks_iter, coefs, al, preds):
-    for cs, blk in blocks_iter():
+def _restart_check(em, restart_every, on_restart):
+    """Per-MCU restart hook shared by the scan encoders: when the MCU
+    index crosses a restart boundary, run the scan's state reset
+    (flush EOBRUN / reset DC predictors) and emit RSTn."""
+    state = {"mcu": -1, "n": 0}
+
+    def check(mcu_idx):
+        if not restart_every:
+            return
+        if mcu_idx != state["mcu"]:
+            if mcu_idx > 0 and mcu_idx % restart_every == 0 and state["mcu"] >= 0:
+                on_restart()
+                em.restart(state["n"])
+                state["n"] += 1
+            state["mcu"] = mcu_idx
+
+    return check
+
+
+def _scan_dc_first(em, blocks_iter, coefs, al, preds, restart_every=0):
+    def reset():
+        for k in preds:
+            preds[k] = 0
+
+    check = _restart_check(em, restart_every, reset)
+    for mcu, cs, blk in blocks_iter():
+        check(mcu)
         v = int(blk[0]) >> al  # DC point transform: arithmetic shift
         diff = v - preds[cs]
         preds[cs] = v
@@ -474,12 +510,14 @@ def _scan_dc_first(em, blocks_iter, coefs, al, preds):
         em.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
 
 
-def _scan_dc_refine(em, blocks_iter, al):
-    for _cs, blk in blocks_iter():
+def _scan_dc_refine(em, blocks_iter, al, restart_every=0):
+    check = _restart_check(em, restart_every, lambda: None)
+    for mcu, _cs, blk in blocks_iter():
+        check(mcu)
         em.bits((int(blk[0]) >> al) & 1, 1)
 
 
-def _scan_ac_first(em, blocks_iter, ss, se, al):
+def _scan_ac_first(em, blocks_iter, ss, se, al, restart_every=0):
     state = {"eobrun": 0}
 
     def flush_eob():
@@ -490,7 +528,9 @@ def _scan_ac_first(em, blocks_iter, ss, se, al):
             em.bits(n - (1 << r), r)
             state["eobrun"] = 0
 
-    for _cs, blk in blocks_iter():
+    check = _restart_check(em, restart_every, flush_eob)
+    for mcu, _cs, blk in blocks_iter():
+        check(mcu)
         band = [int(v) for v in blk[ss:se + 1]]
         shifted = [
             (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
@@ -522,7 +562,7 @@ def _scan_ac_first(em, blocks_iter, ss, se, al):
     flush_eob()
 
 
-def _scan_ac_refine(em, blocks_iter, ss, se, al):
+def _scan_ac_refine(em, blocks_iter, ss, se, al, restart_every=0):
     """G.1.2.3 encode: correction bits for history-nonzero
     coefficients buffer behind the pending EOB run / ZRL / new-coef
     symbol exactly as the decoder will consume them."""
@@ -538,7 +578,9 @@ def _scan_ac_refine(em, blocks_iter, ss, se, al):
                 em.bits(b, 1)
             state["be"] = []
 
-    for _cs, blk in blocks_iter():
+    check = _restart_check(em, restart_every, flush_eob)
+    for mcu, _cs, blk in blocks_iter():
+        check(mcu)
         band = [int(v) for v in blk[ss:se + 1]]
         mags = [abs(v) >> al for v in band]
         eobpos = max((i for i, m in enumerate(mags) if m == 1), default=-1)
@@ -575,7 +617,8 @@ def _scan_ac_refine(em, blocks_iter, ss, se, al):
 
 
 def jpeg_encode_progressive(
-    arr: np.ndarray, quality: int = 90, subsample: int = 1
+    arr: np.ndarray, quality: int = 90, subsample: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w[, 1|3]) -> progressive (SOF2) JFIF bytes.
 
@@ -647,6 +690,8 @@ def jpeg_encode_progressive(
     for cid, hs, vs, tq in comps:
         sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     all_ids = [c[0] for c in comps]
     script = [("dc_first", all_ids, 0, 0, 0, 1)]
@@ -665,11 +710,12 @@ def jpeg_encode_progressive(
             def it():
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
+                        mcu = my * mcus_x + mx
                         for cid in scan_ids:
                             hs, vs = by_id[cid]
                             for by in range(vs):
                                 for bx in range(hs):
-                                    yield cid, coefs[cid][
+                                    yield mcu, cid, coefs[cid][
                                         my * vs + by, mx * hs + bx
                                     ]
             return it
@@ -679,20 +725,22 @@ def jpeg_encode_progressive(
         ch = (h * vs + vmax - 1) // vmax
 
         def it():
+            nbx = (cw + 7) // 8
             for bri in range((ch + 7) // 8):
-                for bci in range((cw + 7) // 8):
-                    yield cid, coefs[cid][bri, bci]
+                for bci in range(nbx):
+                    # non-interleaved: one block per MCU (A.2.2)
+                    yield bri * nbx + bci, cid, coefs[cid][bri, bci]
         return it
 
     def run_scan(kind, em, it, ss, se, al, preds):
         if kind == "dc_first":
-            _scan_dc_first(em, it, coefs, al, preds)
+            _scan_dc_first(em, it, coefs, al, preds, restart_interval)
         elif kind == "dc_refine":
-            _scan_dc_refine(em, it, al)
+            _scan_dc_refine(em, it, al, restart_interval)
         elif kind == "ac_first":
-            _scan_ac_first(em, it, ss, se, al)
+            _scan_ac_first(em, it, ss, se, al, restart_interval)
         else:
-            _scan_ac_refine(em, it, ss, se, al)
+            _scan_ac_refine(em, it, ss, se, al, restart_interval)
 
     for kind, scan_ids, ss, se, ah, al in script:
         it = blocks_iter_for(scan_ids)

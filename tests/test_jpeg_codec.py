@@ -124,6 +124,31 @@ def test_progressive_eobrun_and_dense_blocks():
         assert np.array_equal(p, b)
 
 
+def test_progressive_restart_markers():
+    """RSTn markers inside progressive scans: the decoder must reset
+    DC predictors AND the EOB run at each boundary; roundtrips stay
+    pixel-equal to baseline for interleaved (DC) and non-interleaved
+    (AC) scans at several intervals, color and gray."""
+    from davar_lab_ocr_spark.functions.jpeg import jpeg_encode_progressive
+
+    img = _smooth_rgb(45, 57)
+    for ri in (1, 3):
+        for ss in (1, 2):
+            b = jpeg_decode(jpeg_encode(img, quality=90, subsample=ss))
+            p = jpeg_decode(
+                jpeg_encode_progressive(img, quality=90, subsample=ss,
+                                        restart_interval=ri)
+            )
+            assert np.array_equal(p, b)
+    yy, xx = np.mgrid[0:37, 0:53]
+    gray = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(gray, quality=95))
+    for ri in (1, 5):
+        data = jpeg_encode_progressive(gray, quality=95, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI present
+        assert np.array_equal(jpeg_decode(data), base)
+
+
 def test_progressive_truncated_is_valueerror():
     from davar_lab_ocr_spark.functions.jpeg import jpeg_encode_progressive
 
