@@ -433,19 +433,16 @@ def fscore_track_eval(
         F.sum("pred_care").alias("n_pred"),
         F.sum("gt_care").alias("n_gt"),
     )
+    r = F.when(F.col("n_gt") > 0, F.col("n_matched") / F.col("n_gt")).otherwise(0.0)
+    p = F.when(F.col("n_pred") > 0, F.col("n_matched") / F.col("n_pred")).otherwise(0.0)
+    h = F.when(r + p > 0, 2.0 * r * p / (r + p)).otherwise(0.0)
     return totals.select(
         "n_matched",
         "n_pred",
         "n_gt",
-        F.round(F.col("n_matched") / F.col("n_gt"), 6).alias("recall"),
-        F.round(F.col("n_matched") / F.col("n_pred"), 6).alias("precision"),
-        F.round(
-            2.0
-            * (F.col("n_matched") / F.col("n_gt"))
-            * (F.col("n_matched") / F.col("n_pred"))
-            / (F.col("n_matched") / F.col("n_gt") + F.col("n_matched") / F.col("n_pred")),
-            6,
-        ).alias("hmean"),
+        F.round(r, 6).alias("recall"),
+        F.round(p, 6).alias("precision"),
+        F.round(h, 6).alias("hmean"),
     )
 
 

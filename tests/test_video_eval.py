@@ -534,3 +534,33 @@ def test_mot_on_shipped_pred_identity_gt(spark):
     assert row["motp"] == pytest.approx(1.0, abs=1e-6)
     assert row["mota"] == pytest.approx(1.0, abs=1e-6)
     assert row["tp"] == row["n_gt"] > 0
+
+
+def test_protocols_handle_one_sided_videos(spark):
+    """A video present only in pred (all FP / consumes denominator)
+    or only in gt (all missed) must flow through the cogrouped kernels
+    without error in all three protocols."""
+    from davar_lab_ocr_spark.operators.video import (
+        ata_track_eval,
+        fscore_track_eval,
+        mot_track_eval,
+    )
+
+    box = _rect(0, 0, 50, 20)
+    pred = spark.createDataFrame(
+        [("only_pred", "p0", [_mk_pred_inst(1, box, "word")], [0.9], "WORD")],
+        "video_id string, track_id string, track array<string>, "
+        "scores array<double>, text string",
+    )
+    gt = spark.createDataFrame(
+        [("only_gt", 0, "g0", "WORD", [_mk_gt_inst(1, box)])],
+        "video_id string, seq int, gt_id string, trans string, track array<string>",
+    )
+    f = fscore_track_eval(pred, gt).collect()[0]
+    assert (f["n_matched"], f["n_pred"], f["n_gt"]) == (0, 1, 1)
+    a = ata_track_eval(pred, gt).collect()[0]
+    assert a["n_videos"] == 2 and a["ata"] == pytest.approx(0.0)
+    m = mot_track_eval(pred, gt).collect()[0]
+    # only_pred has no gt frames -> frame loop empty (start from gt);
+    # only_gt misses its care instance -> 1 FN
+    assert (m["tp"], m["fn"], m["n_gt"]) == (0, 1, 1)
