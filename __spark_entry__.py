@@ -829,6 +829,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spot_lexicon_eval"] = spot_lexicon_eval
 
+    def spot_lexicon_weak_eval(spark, sf):
+        # WEAK-lexicon config: the same shipped NONE predictions
+        # corrected against the shipped 624-word ch2_test_vocabulary
+        # (one GLOBAL lexicon broadcast through the stage closure —
+        # the generic/weak path, vs strong's per-image join). Oracle
+        # counts (det 850 unchanged / spot 799 / 917 / 883) from the
+        # same independent brute-force (tests/test_spot_lexicon.py)
+        from davar_lab_ocr_spark.operators.spotting import (
+            lexicon_correct_stage,
+            read_lexicon_txt,
+        )
+        from davar_lab_ocr_spark.sources.datalist import read_eval_archive
+
+        base = "/root/reference/demo/text_spotting/evaluation/"
+        gt = read_eval_archive(
+            spark, base + "gts/gt-icdar2013.zip", has_conf=False
+        ).withColumn("doc_id", F.regexp_replace("doc_id", "^gt_", ""))
+        pred = read_eval_archive(
+            spark, base + "preds/mango_r50_ic13_none.zip", has_conf=False
+        )
+        weak = read_lexicon_txt(
+            base + "lexicons/icdar2013/ch2_test_vocabulary.txt"
+        )
+        pred = lexicon_correct_stage(pred, words=weak)
+        gtg = gt.groupBy("doc_id").agg(
+            F.collect_list(
+                F.struct(F.col("poly"), F.lit(1).alias("care"), F.col("text"))
+            ).alias("gt")
+        )
+        pg = pred.groupBy("doc_id").agg(
+            F.collect_list(
+                F.struct(F.col("poly"), F.col("conf"), F.col("text"))
+            ).alias("pred")
+        )
+        pairs = gtg.join(pg, "doc_id", "left").withColumn(
+            "pred",
+            F.coalesce(F.col("pred"), F.array().cast(pg.schema["pred"].dataType)),
+        )
+        row = M.e2e_hmean(
+            pairs,
+            iou_thr=0.1,
+            area_prec_thr=0.1,
+            special_characters="!?.:,*\"()·[]/' ",
+        )
+        cols = [
+            "det_precision", "det_recall", "det_hmean",
+            "spot_precision", "spot_recall", "spot_hmean",
+        ]
+        return row.select(*[F.round(F.col(c), 4).alias(c) for c in cols])
+
+    q["spot_lexicon_weak_eval"] = spot_lexicon_weak_eval
+
     def conll_ner_decode(spark, sf):
         # the reference's shipped CoNLL-2003 TEST datalist (IOBES gold
         # tags) through the real nlp-datalist scan + distributed NER
@@ -1423,12 +1475,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver records correctness rows for the FIRST 50 entries; the
     # out-of-window tail ROTATES each round so every registered query
     # has a driver row at most one round old (VERDICT r3 next-round #8).
-    # Round 5 tail (18 entries; EVERY one driver-green in r4's window,
+    # Round 5 tail (19 entries; EVERY one driver-green in r4's window,
     # CORRECTNESS_r04, so nothing is ever more than one round stale):
     # the whole r4 tail rotates back into the window along with the three
     # NEW queries (media_decode_variants, track_fscore_eval,
-    # spot_lexicon_eval, track_ata_eval, track_mot_eval), pushing
-    # 18 r4-green entries out. Family pinning for the rotated-out set: the media/codec path
+    # spot_lexicon_eval, spot_lexicon_weak_eval, track_ata_eval,
+    # track_mot_eval), pushing
+    # 19 r4-green entries out. Family pinning for the rotated-out set: the media/codec path
     # is pinned by media_decode_variants (progressive JPEG + paletted
     # PNG with full pixel decode) and media_transform in-window; text
     # stats by token_stats/quality_score/repetition_stats/
@@ -1456,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iou_match_join",  # IoU matching pinned by det_hmean_fixture +
                            # the published det evals in-window
         "kv_pairing",  # IE family pinned by token_f1 + wildreceipt golden
+        "multi_dataset_union",  # trivial unionByName, oracle-stable
     ]
     ordered = {k: v for k, v in q.items() if k not in tail}
     assert len(ordered) <= 50, f"driver window overflow: {len(ordered)} primary queries"
@@ -2338,6 +2392,18 @@ def oracle_sql() -> dict[str, str]:
                    round(805.0/883, 4) AS spot_precision,
                    round(805.0/917, 4) AS spot_recall,
                    round(2*(805.0/917)*(805.0/883)/((805.0/917)+(805.0/883)), 4)
+                       AS spot_hmean
+        """,
+        # WEAK-config counts from the same independent brute (det leg
+        # unchanged at the published None-run figures)
+        "spot_lexicon_weak_eval": """
+            SELECT round(850.0/883, 4) AS det_precision,
+                   round(850.0/917, 4) AS det_recall,
+                   round(2*(850.0/917)*(850.0/883)/((850.0/917)+(850.0/883)), 4)
+                       AS det_hmean,
+                   round(799.0/883, 4) AS spot_precision,
+                   round(799.0/917, 4) AS spot_recall,
+                   round(2*(799.0/917)*(799.0/883)/((799.0/917)+(799.0/883)), 4)
                        AS spot_hmean
         """,
         # INDEPENDENT-BRUTE-FORCE oracle on the reference's shipped

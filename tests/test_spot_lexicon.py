@@ -144,7 +144,7 @@ def _trans_match(g, d):
     return False
 
 
-def _brute_counts(ids, iou_t=0.1, area_t=0.1):
+def _brute_counts(ids, iou_t=0.1, area_t=0.1, global_lexicon=None):
     gtz = zipfile.ZipFile(GT_ZIP)
     pz = zipfile.ZipFile(PRED_ZIP)
     lz = zipfile.ZipFile(LEX_ZIP)
@@ -167,7 +167,7 @@ def _brute_counts(ids, iou_t=0.1, area_t=0.1):
             raw = pz.read(f"img_{i}.txt").decode("utf-8-sig")
         except KeyError:
             raw = ""
-        lex = [
+        lex = global_lexicon if global_lexicon is not None else [
             ln.strip()
             for ln in lz.read(f"strong_lexicon/voc_img_{i}.txt")
             .decode("utf-8-sig")
@@ -334,7 +334,9 @@ def test_global_lexicon_modes(spark):
 
 def test_brute_full_corpus_pinned_counts():
     """The full-corpus brute matches the pinned oracle counts AND the
-    published None-run det figures (det metrics are lexicon-invariant)."""
+    published None-run det figures (det metrics are lexicon-invariant);
+    the WEAK (ch2 vocabulary) config pins its own spot count with the
+    same det leg."""
     gtz = zipfile.ZipFile(GT_ZIP)
     ids = sorted(
         int(re.match(r"gt_img_(\d+)\.txt", n).group(1)) for n in gtz.namelist()
@@ -343,3 +345,8 @@ def test_brute_full_corpus_pinned_counts():
     assert (md, ms, g, d) == (850, 805, 917, 883)
     assert round(md / g, 4) == 0.9269  # published det_recall
     assert round(md / d, 4) == 0.9626  # published det_precision
+    from davar_lab_ocr_spark.operators.spotting import read_lexicon_txt
+
+    weak = read_lexicon_txt(BASE + "lexicons/icdar2013/ch2_test_vocabulary.txt")
+    md, ms, g, d = _brute_counts(ids, global_lexicon=weak)
+    assert (md, ms, g, d) == (850, 799, 917, 883)
