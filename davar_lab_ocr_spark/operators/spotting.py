@@ -391,7 +391,11 @@ def lexicon_correct_stage(
                         cache[key] = _encode_lexicon(list(w))
                     encs.append(cache[key])
             corrected = [
-                lexicon_correct(t, list(w), enc[0], enc[1]) if t is not None else None
+                # the reference only corrects when a lexicon EXISTS
+                # (test_ic13.py `if lexicon != []`): rows with a
+                # missing/empty lexicon pass through unchanged
+                lexicon_correct(t, list(w), enc[0], enc[1])
+                if (t is not None and len(w)) else t
                 for t, w, enc in zip(texts, per_row_words, encs)
             ]
             arrays = [

@@ -48,7 +48,10 @@ def test_lexicon_correct_rules():
     assert lexicon_correct("ab", lex) == "ab"
     assert lexicon_correct("a1c", lex) == "a1c"
     assert lexicon_correct("c+t", lex) == "c+t"
-    # empty lexicon -> ' ' (dist_min init 100 never beaten)
+    # empty lexicon -> ' ' (dist_min init 100 never beaten) at the
+    # find_nearest_word level; the STAGE passes such rows through
+    # untouched (the reference's `if lexicon != []` guard — tested in
+    # test_stage_empty_lexicon_passthrough)
     assert nearest_lexicon_word("word", []) == " "
     # comma stripping on the corrected word (re-serialization quirk)
     assert lexicon_correct("helo", ["he,lo"]) == "helo"
@@ -350,3 +353,21 @@ def test_brute_full_corpus_pinned_counts():
     weak = read_lexicon_txt(BASE + "lexicons/icdar2013/ch2_test_vocabulary.txt")
     md, ms, g, d = _brute_counts(ids, global_lexicon=weak)
     assert (md, ms, g, d) == (850, 799, 917, 883)
+
+
+def test_stage_empty_lexicon_passthrough(spark):
+    """A doc with no lexicon entry (or an empty one) keeps its text
+    unchanged — the reference's `if lexicon != []` guard; correcting
+    against an empty lexicon would blank the word to ' '."""
+    from davar_lab_ocr_spark.operators.spotting import lexicon_correct_stage
+
+    pred = spark.createDataFrame(
+        [("img_a", "hello"), ("img_b", "world"), ("img_c", "third")],
+        "doc_id string, text string",
+    )
+    lex = spark.createDataFrame(
+        [("img_a", ["HELLO", "OTHER"]), ("img_b", [])],
+        "doc_id string, words array<string>",
+    )
+    got = {r["doc_id"]: r["text"] for r in lexicon_correct_stage(pred, lexicon=lex).collect()}
+    assert got == {"img_a": "HELLO", "img_b": "world", "img_c": "third"}
