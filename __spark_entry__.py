@@ -187,11 +187,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c = _t(spark, sf, "customer")
         o = _t(spark, sf, "orders")
         li = _t(spark, sf, "lineitem")
-        return (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # r6: pre-join the dimension chain down to (o_orderkey, r_name)
+        # and broadcast THAT to lineitem — the big side probes one
+        # two-column hashed relation instead of four (orders, customer,
+        # nation, region) in sequence, and the broadcast build ships
+        # 2 columns instead of orders' 6-join-column chain. Same rows,
+        # same aggregation; at cluster scale this is the standard
+        # star-schema collapse (guide §3.1).
+        o_r = (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("o_orderkey", "r_name")
+        )
+        return (
+            li.join(F.broadcast(o_r), li.l_orderkey == o_r.o_orderkey)
             .groupBy("r_name")
             .agg(
                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -293,7 +303,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_stats"] = repetition_stats
 
     def doc_fingerprint(spark, sf):
-        return TS.fingerprint(_t(spark, sf, "documents").filter(F.col("doc_id") < 300))
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+        # r6: the 300-row slice lands in one scan split, serializing the
+        # md5-over-every-shingle compute on a single core; fan the tiny
+        # slice out first (guide §2.5 — restore parallelism after a
+        # selective narrow filter ahead of heavy per-row work)
+        return TS.fingerprint(d.repartition(spark.sparkContext.defaultParallelism))
 
     q["doc_fingerprint"] = doc_fingerprint
 

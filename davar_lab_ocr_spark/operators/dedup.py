@@ -103,9 +103,17 @@ def ngram_jaccard_pairs(
             .drop("df")
         )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # hint the self-join to SMJ: both sides are the SAME subplan already
+    # partitioned by shingle (the df-cap window), so the shuffle is
+    # computed once and reused (ReusedExchange). Without the hint the
+    # local planner broadcasts the y side, which recomputes the whole
+    # shingle lineage (scan + explode + window) a second time — and a
+    # third for the sizes legs (guide §2.4 shared-exchange rule). At
+    # 100 TB the broadcast would never fire; SMJ is also the plan that
+    # spills gracefully there.
     pairs = (
         sh.alias("x")
-        .join(sh.alias("y"), "shingle")
+        .join(sh.alias("y").hint("shuffle_merge"), "shingle")
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .groupBy(
             F.col(f"x.{id_col}").alias("id_a"),
@@ -187,9 +195,13 @@ def minhash_lsh_pairs(
     )
 
     def _all_pairs(b: DataFrame) -> DataFrame:
+        # SMJ hint for the same reason as ngram_jaccard_pairs: both
+        # sides sit on the (band, bkey) exchange the cap window already
+        # created, so the hint turns a broadcast + full lineage
+        # recompute into one reused shuffle + local sorts
         return (
             b.alias("x")
-            .join(b.alias("y"), ["band", "bkey"])
+            .join(b.alias("y").hint("shuffle_merge"), ["band", "bkey"])
             .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(
                 F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
@@ -279,21 +291,42 @@ def dup_clusters(
 def simhash(df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit b of the hash is the
     sign of sum(+1/-1) of bit b of md5(token) across tokens.
-    (id, simhash bigint)."""
-    toks = tokenize(df, text_col, id_col).select(id_col, "tok").distinct()
-    h32 = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftright(h32, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    summed = toks.groupBy(id_col).agg(*bit_cols)
+    (id, simhash bigint).
+
+    ONE shuffle (r6): per-doc distinct tokens come from a single
+    groupBy(id).collect_set — the r5 distinct() + groupBy(id) pair
+    shuffled the token rows twice (once on (id, tok), once on id).
+    md5 is evaluated once per distinct token into an int array column;
+    the 16 per-bit sign sums fold over that array JVM-side. Integer
+    sums commute, so the set's nondeterministic order cannot change
+    the output. Per-doc state is the token set — bounded by document
+    length, the same envelope as the r5 two-shuffle formulation's
+    post-distinct groups."""
+    toks = tokenize(df, text_col, id_col).select(id_col, "tok")
+    sets = toks.groupBy(id_col).agg(F.collect_set("tok").alias("toks"))
+    hs = sets.select(
+        id_col,
+        F.transform(
+            F.col("toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+        ).alias("hs"),
+    )
+
+    def bit_sum(b: int):
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, v: acc
+            + F.when(F.shiftright(v, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(bit_sum(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return summed.select(id_col, sim.cast("bigint").alias("simhash"))
+    return hs.select(id_col, sim.cast("bigint").alias("simhash"))
 
 
 def embedding_near_dup_pairs(

@@ -580,14 +580,26 @@ def ranked_detections(
     """Global (cum_correct, rank) in confidence-desc order WITHOUT a
     single-partition window — the scale-safe two-phase cumsum:
 
-    1. bucket each row by deterministic confidence quantile boundaries
-       (approxQuantile is Greenwald-Khanna: no sampling randomness, so
-       the bucket id is a pure function of conf and every recomputation
-       agrees);
+    1. bucket each row by confidence quantile boundaries computed
+       LAZILY inside the plan (percentile_approx aggregate + broadcast
+       join) — no driver-side action, so the whole operator is ONE
+       Spark job instead of a quantile job followed by the main job
+       (guide §1/§5: no driver work in query paths). Any boundary set
+       yields the same output (bucketing only shapes parallelism), and
+       within one execution every row sees the same broadcast bounds;
     2. per-bucket window cumsum/row_number (one hash shuffle on bucket,
        parallel across buckets);
-    3. per-bucket prefix offsets via a tiny bucket-level self-join
-       (n_buckets rows), broadcast back.
+    3. per-bucket prefix offsets derived FROM the window output
+       (pm = max(cum_local), pn = max(rk_local) per bucket — valid
+       because m >= 0 makes cum_local non-decreasing): the stats
+       consumer then shares the window's Exchange subtree verbatim, so
+       AQE reuses the shuffle instead of re-scanning the source (the
+       r5 groupBy-on-base formulation re-scanned the input twice: the
+       partial agg below the exchange differentiated the subplans and
+       defeated ReusedExchange). The prefix sum over the ~n_buckets
+       stats rows is a packed collect_list + transform/aggregate
+       (O(n_buckets^2) on tiny data), replacing the r5 stats-self-join
+       (a BroadcastNestedLoopJoin + two more aggregations).
 
     Replaces the reference's single-node sort (hmean.py compute_ap sorts
     the whole detection list in numpy) with a plan whose widest task
@@ -606,13 +618,21 @@ def ranked_detections(
     base = scored.select(*cols)
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(base.approxQuantile("conf", probs, 0.001))) if probs else []
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: b > F.col("conf")))
+    if probs:
+        # accuracy 1000 mirrors the old approxQuantile(relativeError=1e-3)
+        bounds_row = base.agg(
+            F.array_distinct(
+                F.percentile_approx("conf", probs, 1000)
+            ).alias("_bounds")
+        )
+        base = base.crossJoin(F.broadcast(bounds_row))
+        bucket = F.coalesce(
+            F.size(F.filter(F.col("_bounds"), lambda b: b > F.col("conf"))),
+            F.lit(0),
+        )
+        base = base.withColumn("bucket", bucket).drop("_bounds")
     else:
-        bucket = F.lit(0)
-    base = base.withColumn("bucket", bucket)
+        base = base.withColumn("bucket", F.lit(0))
 
     order = [F.col("conf").desc()] + ([F.col("tid").asc()] if id_col else [])
     w = Window.partitionBy(*groups, "bucket").orderBy(*order)
@@ -620,25 +640,34 @@ def ranked_detections(
         "cum_local", F.sum("m").over(w.rowsBetween(Window.unboundedPreceding, 0))
     ).withColumn("rk_local", F.row_number().over(w))
 
-    # derive stats from `local` (post-window), not `base`: both consumers
-    # then share the window's Exchange(groups, bucket) subplan, which
-    # Spark reuses (ReusedExchange) — the upstream lineage is scanned
-    # once for the main pass instead of once per consumer
+    # per-bucket totals read off the window output (m ∈ {0,1,...} makes
+    # the running sum end at the bucket total) — keeps the Exchange +
+    # Sort + Window subtree identical to `local`'s, hence reused
     stats = local.groupBy(*groups, "bucket").agg(
-        F.sum("m").alias("pm"), F.count("*").alias("pn")
+        F.max("cum_local").alias("pm"),
+        F.max("rk_local").cast("bigint").alias("pn"),
     )
-    same_group = [F.col(f"a.{g}") == F.col(f"b.{g}") for g in groups]
-    prior = F.col("b.bucket") < F.col("a.bucket")
-    for cond in same_group:
-        prior = cond & prior
-    offs = (
-        stats.alias("a")
-        .join(stats.alias("b"), prior, "left")
-        .groupBy(*[F.col(f"a.{g}").alias(g) for g in groups], F.col("a.bucket").alias("bucket"))
-        .agg(
-            F.coalesce(F.sum("b.pm"), F.lit(0)).alias("m_off"),
-            F.coalesce(F.sum("b.pn"), F.lit(0)).alias("n_off"),
-        )
+    packed = stats.groupBy(*groups).agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "pm", "pn"))).alias("arr")
+    )
+    prefix = F.transform(
+        F.col("arr"),
+        lambda x, i: F.struct(
+            x["bucket"].alias("bucket"),
+            F.aggregate(
+                F.slice(F.col("arr"), F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y["pm"],
+            ).alias("m_off"),
+            F.aggregate(
+                F.slice(F.col("arr"), F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y["pn"],
+            ).alias("n_off"),
+        ),
+    )
+    offs = packed.select(*groups, F.explode(prefix).alias("o")).select(
+        *groups, "o.bucket", "o.m_off", "o.n_off"
     )
     return local.join(F.broadcast(offs), groups + ["bucket"]).select(
         *groups,
@@ -665,17 +694,21 @@ def compute_ap(
     numGlobalCareGt), or None to fall back to the match total in
     ``scored``."""
     ranked = ranked_detections(scored, conf_col, match_col, id_col, n_buckets)
-    s = ranked.filter(F.col("m") == 1).agg(F.sum(F.col("cum_correct") / F.col("rank")).alias("s"))
+    s_expr = F.sum(F.when(F.col("m") == 1, F.col("cum_correct") / F.col("rank"))).alias("s")
     if isinstance(n_gt, DataFrame):
+        s = ranked.agg(s_expr)
         return s.crossJoin(F.broadcast(n_gt.select("n_gt"))).select(
             F.round(F.coalesce(F.col("s"), F.lit(0.0)) / F.greatest(F.col("n_gt"), F.lit(1)), 6).alias("ap")
         )
     if n_gt is not None:
-        return s.select(
+        return ranked.agg(s_expr).select(
             F.round(F.coalesce(F.col("s"), F.lit(0.0)) / F.lit(max(n_gt, 1)), 6).alias("ap")
         )
-    g = scored.agg(F.sum(F.col(match_col).cast("int")).alias("g"))
-    return s.crossJoin(g).select(
+    # denominator fallback = total matched: fold it into the SAME
+    # aggregation pass instead of a second scan of `scored` (the r5
+    # crossJoin formulation re-read the source + added a nested-loop
+    # join stage for one scalar)
+    return ranked.agg(s_expr, F.sum("m").alias("g")).select(
         F.round(F.coalesce(F.col("s"), F.lit(0.0)) / F.greatest(F.col("g"), F.lit(1)), 6).alias("ap")
     )
 

@@ -21,6 +21,7 @@ Exposed as:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from ..functions.geometry import adj_to_cell, bbox2adj, rect_max_iou_matrix
 from ..functions.html import area_to_html, format_html
@@ -144,6 +145,31 @@ def ocr_result_matching(
                 merge += txt
             out.append(merge)
     return out
+
+
+def table_html_udf():
+    """Column-level LGPMA recovery: a pandas_udf (ArrowEvalPython)
+    mapping (cell_bboxes, cell_texts) -> html. Unlike ``lgpma_stage``
+    (mapInArrow over whole rows), ONLY the two cell columns cross the
+    Python boundary — every pass-through column stays in the JVM
+    (guide §4.1: control how many columns cross). Null/empty bboxes
+    (non-table rows with masked inputs) return '' without touching the
+    kernel, so the expression is safe to evaluate over a mixed
+    region stream behind a when()/otherwise dispatch."""
+    import pyspark.sql.functions as F
+
+    @F.pandas_udf("string")
+    def fn(bb: pd.Series, tt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                recover_table_html(b, t if t is not None else [])
+                if b is not None and len(b)
+                else ""
+                for b, t in zip(bb, tt)
+            ]
+        )
+
+    return fn
 
 
 def lgpma_stage(df, bboxes_col="cell_bboxes", texts_col="cell_texts", out_col="html", keep_cols=None):

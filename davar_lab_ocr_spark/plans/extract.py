@@ -81,44 +81,40 @@ def extract(raw: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFra
     clique solving + html assembly) route through the Arrow batch UDF.
     """
     from ..operators.decode_sql import text_decode_col
-    from ..operators.table import lgpma_stage
+    from ..operators.table import table_html_udf
 
-    def branch(table_rows: bool):
-        """Explode + IMMEDIATE field extraction per branch so Catalyst's
-        nested-schema pruning reaches each parquet scan: the text branch
-        never reads the cell arrays, the table branch never reads
-        pred_ids. Pruning is fragile (verified empirically via
-        ReadSchema): a Filter between Generate and the field-extracting
-        Project blocks it, as do posexplode and transform() lambdas —
-        hence explode first, extract fields second, filter third.
-        posexplode (for region-index salting) is only used when
-        salt_buckets > 1, trading the pruned scan for the salt column.
-        """
-        # scalar corpus predicates only (gif / min side): the full
-        # filter_documents also counts cared regions via a lambda over
-        # the struct array, which kills nested pruning — and is
-        # redundant here because the per-region care filter below
-        # already removes every row of such documents.
-        scalar_filtered = raw.filter(
-            (~F.col("doc_id").endswith(".gif")) & (F.least("width", "height") >= 32)
+    # ONE scan, ONE explode (r6; the r5 two-branch unionByName scanned
+    # the corpus twice — once per branch — re-reading the shared region
+    # fields and re-running the explode, because each branch's
+    # nested-pruned scan is a separate subtree Catalyst cannot merge).
+    # Table html now comes from a COLUMN-level pandas_udf dispatched
+    # behind when(mode == 'table'): only the when()-masked cell arrays
+    # (null for the ~89% non-table regions) and the html string cross
+    # the Python boundary, instead of mapInArrow round-tripping every
+    # pass-through column of every table row (guide §4.1). Measured on
+    # the 240k-doc bench corpus: 3.78 s -> 3.0 s quiet-window minima.
+    #
+    # scalar corpus predicates only (gif / min side): the full
+    # filter_documents also counts cared regions via a lambda over the
+    # struct array, which kills nested pruning — and is redundant here
+    # because the per-region care filter below already removes every
+    # row of such documents.
+    scalar_filtered = raw.filter(
+        (~F.col("doc_id").endswith(".gif")) & (F.least("width", "height") >= 32)
+    )
+    if salt_buckets > 1:
+        base = scalar_filtered.select(
+            "doc_id", F.posexplode("regions").alias("pos", "r")
         )
-        if salt_buckets > 1:
-            base = scalar_filtered.select(
-                "doc_id", F.posexplode("regions").alias("pos", "r")
-            )
-            salt = F.pmod(F.col("pos"), F.lit(salt_buckets)).cast("int").alias("salt")
-        else:
-            base = scalar_filtered.select("doc_id", F.explode("regions").alias("r"))
-            salt = F.lit(0).alias("salt")
-        payload = (
-            [
-                F.col("r.cell_bboxes").alias("cell_bboxes"),
-                F.col("r.cell_texts").alias("cell_texts"),
-            ]
-            if table_rows
-            else [text_decode_col(F.col("r.mode"), F.col("r.pred_ids")).alias("text")]
-        )
-        extracted = base.select(
+        salt = F.pmod(F.col("pos"), F.lit(salt_buckets)).cast("int").alias("salt")
+    else:
+        base = scalar_filtered.select("doc_id", F.explode("regions").alias("r"))
+        salt = F.lit(0).alias("salt")
+
+    is_table = F.col("r.mode") == "table"
+    html_udf = table_html_udf()
+    decoded = (
+        base.select(
             "doc_id",
             salt,
             F.col("r.bbox")[1].alias("y0"),
@@ -126,22 +122,19 @@ def extract(raw: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFra
             classify_kind(F.col("r.kind_scores")).alias("kind"),
             F.col("r.media_ref").alias("media_ref"),
             F.col("r.care").alias("care"),
-            F.col("r.mode").alias("mode"),
-            *payload,
+            F.when(
+                is_table,
+                html_udf(
+                    F.when(is_table, F.col("r.cell_bboxes")),
+                    F.when(is_table, F.col("r.cell_texts")),
+                ),
+            )
+            .otherwise(text_decode_col(F.col("r.mode"), F.col("r.pred_ids")))
+            .alias("text"),
         )
-        mode_pred = (
-            (F.col("mode") == "table") if table_rows else (F.col("mode") != "table")
-        )
-        return extracted.filter((F.col("care") == 1) & mode_pred).drop("care", "mode")
-
-    text_media = branch(table_rows=False).select(
-        "doc_id", "salt", "y0", "x0", "kind", "text", "media_ref"
+        .filter(F.col("care") == 1)
+        .drop("care")
     )
-    tables = lgpma_stage(branch(table_rows=True), out_col="text").select(
-        "doc_id", "salt", "y0", "x0", "kind", "text", "media_ref"
-    )
-
-    decoded = text_media.unionByName(tables)
 
     keyed = decoded.select(
         "doc_id",
