@@ -45,6 +45,13 @@ def hungarian_min(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
                     if minv[j] < delta:
                         delta = minv[j]
                         j1 = j
+            if j1 == -1:
+                # every unused column has infinite reduced cost — only
+                # possible with non-finite inputs; fail loudly instead
+                # of silently corrupting used[-1]
+                raise ValueError(
+                    "hungarian_min: no finite augmenting column (non-finite cost input?)"
+                )
             for j in range(n + 1):
                 if used[j]:
                     u[p[j]] += delta

@@ -14,20 +14,27 @@ from __future__ import annotations
 
 from html import escape
 
-import numpy as np
 
-
-def area_to_html(area: np.ndarray, labels: list, texts: list) -> tuple[list, list]:
+def area_to_html(area, labels: list, texts: list) -> tuple[list, list]:
     """Structure tokens + per-cell text from a cell-id area grid.
 
-    area: [R, C] grid; cell ids are 1-based, empty cells <= 0.
+    area: [R, C] grid (ndarray or nested lists); cell ids are 1-based,
+    empty cells <= 0.
     labels: per non-empty cell, [0]=head-ish (falsy) or [1]=body (truthy).
     texts: per non-empty cell, the cell text (str or token list).
     Returns (html_struct tokens, text_tokens dicts).
     """
-    rows, cols = area.shape
-    ext = np.zeros((rows + 1, cols + 1))
-    ext[:-1, :-1] = area
+    rows, cols = len(area), len(area[0])
+    # python int grid, not numpy: the scan below does O(R*C) scalar
+    # lookups/compares, where ndarray scalar indexing is ~10x slower
+    # than list indexing (measured in the r6 extract profile — this
+    # kernel runs once per table region inside the Arrow stage)
+    ext = [[0] * (cols + 1) for _ in range(rows + 1)]
+    for r in range(rows):
+        row_src = area[r]
+        row_dst = ext[r]
+        for c in range(cols):
+            row_dst[c] = int(row_src[c])
     struct: list[str] = []
     cell_texts: list[dict] = []
     headend = 0
@@ -37,19 +44,21 @@ def area_to_html(area: np.ndarray, labels: list, texts: list) -> tuple[list, lis
         c = 0
         numhead = numbody = 0
         while c < cols:
-            if r != 0 and ext[r, c] == ext[r - 1, c]:
+            cur = ext[r][c]
+            if r != 0 and cur == ext[r - 1][c]:
                 c += 1  # continuation of a rowspan from above
                 continue
-            same_below = ext[r, c] == ext[r + 1, c]
-            same_right = ext[r, c] == ext[r, c + 1]
+            same_below = cur == ext[r + 1][c]
+            same_right = cur == ext[r][c + 1]
             rowspan = colspan = 1
             if same_below:
-                while ext[r, c] == ext[r + rowspan, c]:
+                while cur == ext[r + rowspan][c]:
                     rowspan += 1
                     if r + rowspan == rows:
                         break
             if same_right:
-                while ext[r, c] == ext[r, c + colspan]:
+                row_r = ext[r]
+                while cur == row_r[c + colspan]:
                     colspan += 1
                     if c + colspan == cols:
                         break
@@ -64,7 +73,7 @@ def area_to_html(area: np.ndarray, labels: list, texts: list) -> tuple[list, lis
                 struct.append(">")
             struct.append("</td>")
 
-            cid = int(ext[r, c])
+            cid = cur
             cell_texts.append({"tokens": texts[cid - 1] if cid >= 1 else [""]})
             if cid >= 1:
                 if labels[cid - 1][0]:

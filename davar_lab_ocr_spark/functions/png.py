@@ -383,7 +383,9 @@ def png_encode_16bit(arr16: np.ndarray, filter_type: int = 0) -> bytes:
         raise NotImplementedError(f"unsupported channel count {c}")
     if filter_type not in (0, 2):
         raise NotImplementedError("16-bit fixture filters: 0/2")
-    be = arr16.byteswap() if arr16.dtype.byteorder in ("<", "=") else arr16
+    # PNG wants big-endian samples; gate on EFFECTIVE endianness ('='
+    # means native, which is already big-endian on a BE host)
+    be = arr16.astype(">u2", copy=False)
     rows = be.view(np.uint8).reshape(h, w * c * 2)
     raw = bytearray()
     prev = np.zeros(w * c * 2, np.uint8)

@@ -750,8 +750,12 @@ def eval_map(
         .groupBy(class_col)
         .agg(F.sum(F.col("cum_correct") / F.col("rank")).alias("s"))
     )
+    # broadcast the per-class sums (one row per class) into the
+    # gt_counts left join: without the hint the planner sort-merges,
+    # adding an Exchange(cls) + Sort on BOTH sides of a #classes-row
+    # join (r6 measured plan)
     per_class = (
-        gt_counts.join(s, class_col, "left")
+        gt_counts.join(F.broadcast(s), class_col, "left")
         .select(
             F.col(class_col).alias("cls"),
             F.round(

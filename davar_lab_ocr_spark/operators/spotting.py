@@ -279,10 +279,13 @@ def _encode_lexicon(words: list[str]) -> tuple[np.ndarray, np.ndarray]:
     the shape batch_edit_distances consumes."""
     if not words:
         return np.zeros((0, 1), np.int32), np.zeros(0, np.int64)
-    lens = np.array([len(w) for w in words], dtype=np.int64)
+    # uppercase FIRST and derive lengths from the uppercased strings:
+    # Unicode case expansion ('ß' -> 'SS') can make len(upper) >
+    # len(original), which would overflow the matrix / misalign the DP
+    uppers = [w.upper() for w in words]
+    lens = np.array([len(u) for u in uppers], dtype=np.int64)
     mat = np.zeros((len(words), max(int(lens.max()), 1)), dtype=np.int32)
-    for i, w in enumerate(words):
-        u = w.upper()
+    for i, u in enumerate(uppers):
         mat[i, : len(u)] = [ord(c) for c in u]
     return mat, lens
 

@@ -75,11 +75,14 @@ def _derive_cells_fast(boxes: list[list[int]]) -> list[list[int]] | None:
 
 def derive_cells(cell_bboxes: list[list[float]]) -> list[list[int]]:
     """Cell (r0, c0, r1, c1) spans from aligned bboxes alone."""
-    rounded = [[round(v) for v in bb] for bb in cell_bboxes]
+    # vectorized rounding (np.rint is round-half-even like python
+    # round()) — this runs once per table region in the extract hot path
+    arr = np.rint(np.asarray([list(bb) for bb in cell_bboxes], dtype=np.float64))
+    rounded = arr.astype(np.int64).tolist()
     fast = _derive_cells_fast(rounded)
     if fast is not None:
         return fast
-    boxes = np.asarray(rounded, dtype=np.float64)
+    boxes = arr
     adjr, adjc = bbox2adj(boxes)
     rowspan = adj_to_cell(adjr, boxes, "row")
     colspan = adj_to_cell(adjc, boxes, "col")
@@ -94,17 +97,23 @@ def recover_table_html(cell_bboxes: list[list[float]], cell_texts: list[str]) ->
     if cell_bboxes is None or len(cell_bboxes) == 0:
         return ""
     cells = derive_cells(cell_bboxes)
-    cells_np = np.asarray(cells, dtype=np.int64)
 
-    # occupancy grid; gaps become empty cells with unique negative ids
-    area = np.zeros((cells_np[:, 2].max() + 1, cells_np[:, 3].max() + 1))
+    # occupancy grid as plain python lists (hot path: per-element numpy
+    # scalar indexing measured ~2x slower for these tiny grids); gaps
+    # become empty cells with unique negative ids
+    n_rows = max(c[2] for c in cells) + 1
+    n_cols = max(c[3] for c in cells) + 1
+    area = [[0] * n_cols for _ in range(n_rows)]
     for cid, (r0, c0, r1, c1) in enumerate(cells):
-        area[r0 : r1 + 1, c0 : c1 + 1] = cid + 1
+        for rr in range(r0, r1 + 1):
+            row = area[rr]
+            for cc in range(c0, c1 + 1):
+                row[cc] = cid + 1
     empty_id = -1
-    for r in range(area.shape[0]):
-        for c in range(area.shape[1]):
-            if area[r, c] == 0:
-                area[r, c] = empty_id
+    for row in area:
+        for c in range(n_cols):
+            if row[c] == 0:
+                row[c] = empty_id
                 empty_id -= 1
 
     labels = [[0] if r0 == 0 else [1] for (r0, _c0, _r1, _c1) in cells]

@@ -40,12 +40,20 @@ def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc token counting: n_tokens, n_uniq, avg token length."""
+    """Per-doc token counting: n_tokens, n_uniq, avg token length.
+
+    ONE shuffle (r6): countDistinct inside a groupBy plans as a
+    two-phase expand (two Exchanges); since the distinct is scoped to
+    the group, size(collect_set) inside the single groupBy gives the
+    same number with one Exchange. avg as sum(len)/count is the exact
+    same double division the Average aggregate performs."""
     toks = tokenize(df, text_col, id_col)
     return toks.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
-        F.countDistinct("tok").alias("n_uniq"),
-        F.round(F.avg(F.length("tok")), 4).alias("avg_tok_len"),
+        F.size(F.collect_set("tok")).cast("bigint").alias("n_uniq"),
+        F.round(
+            F.sum(F.length("tok")).cast("double") / F.count("*").cast("double"), 4
+        ).alias("avg_tok_len"),
     )
 
 
@@ -132,10 +140,13 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     characters per piece — the cost-estimation numbers an LLM-training
     pipeline tracks per document."""
     t = bpe_tokenize(df, text_col, id_col)
+    # single-Exchange form, same rationale as token_stats (r6)
     return t.groupBy(id_col).agg(
         F.count("*").alias("n_pieces"),
-        F.countDistinct("piece").alias("n_uniq_pieces"),
-        F.round(F.avg(F.length("piece")), 4).alias("avg_piece_len"),
+        F.size(F.collect_set("piece")).cast("bigint").alias("n_uniq_pieces"),
+        F.round(
+            F.sum(F.length("piece")).cast("double") / F.count("*").cast("double"), 4
+        ).alias("avg_piece_len"),
     )
 
 

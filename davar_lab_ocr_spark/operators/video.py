@@ -362,6 +362,14 @@ def _fscore_one_video(pred_pdf: pd.DataFrame, gt_pdf: pd.DataFrame,
 
     pre_matched = {}
     for p in pred_pdf.itertuples():
+        if p.scores is None:
+            # mirrors the reference's load_pre_fscore KeyError: the
+            # F-score protocol selects a frame by score; a score-less
+            # track file needs a select_frame column instead
+            raise ValueError(
+                "track_fscore_eval needs per-frame scores (or a "
+                "select_frame column) — prediction track has null scores"
+            )
         sel_frame, sel_pts, _w = select_best_frame(list(p.track), list(p.scores))
         sel_word = str(p.text).upper()
         pre_matched[p.track_id] = 0
