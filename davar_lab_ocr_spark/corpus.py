@@ -254,9 +254,20 @@ def distributed_raw_df(
     idx = spark.range(0, n_docs, 1, parts)
 
     def gen(batches):
+        # chunk the yields so per-worker peak memory is bounded by the
+        # chunk, independent of the session's Arrow record-batch size
+        # (each generated doc carries a full regions array — a 40k-row
+        # input batch would otherwise materialize ~40k docs in one
+        # pandas frame)
+        chunk = 4096
         for pdf in batches:
-            rows = [gen_doc(int(d), seed, giant_every, giant_size)[0] for d in pdf["id"]]
-            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "regions"])
+            ids = [int(d) for d in pdf["id"]]
+            for lo in range(0, len(ids), chunk):
+                rows = [
+                    gen_doc(d, seed, giant_every, giant_size)[0]
+                    for d in ids[lo : lo + chunk]
+                ]
+                yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "regions"])
 
     return idx.mapInPandas(gen, schema=RAW_DOCUMENTS)
 

