@@ -36,14 +36,17 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle).
+def word_shingle_rows(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Word n-gram shingle OCCURRENCE rows per doc: (id, shingle),
+    with within-doc duplicates — fully narrow (zero shuffles).
 
     Narrow per-row expression (slice/transform over the split array) —
-    zero joins; the only shuffle is the final distinct. Windows keep
-    split-position adjacency: a window containing an empty token (from
-    consecutive delimiters) yields no shingle, matching the positional
-    (ord) adjacency an inverted-index formulation uses.
+    zero joins. Windows keep split-position adjacency: a window
+    containing an empty token (from consecutive delimiters) yields no
+    shingle, matching the positional (ord) adjacency an inverted-index
+    formulation uses. Consumers that need per-doc DISTINCT shingles
+    either call :func:`word_shingles` or dedupe inside their own
+    shuffle (guide §2.4: share the exchange instead of adding one).
     """
     arr = F.split(F.col(text_col), " ")
     windows = F.when(
@@ -59,8 +62,13 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     return (
         df.select(F.col(id_col), F.explode(windows).alias("shingle"))
         .filter(F.col("shingle").isNotNull())
-        .distinct()
     )
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). One
+    shuffle (the distinct, map-side combinable)."""
+    return word_shingle_rows(df, n, text_col, id_col).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -92,16 +100,34 @@ def ngram_jaccard_pairs(
     ``max_shingle_df=None`` to explicitly opt out (small corpora /
     oracle verification only).
     """
-    sh = word_shingles(df, n, text_col, id_col)
     if max_shingle_df is not None:
         from pyspark.sql import Window
 
+        # fold the per-doc shingle dedupe INTO the cap's shingle
+        # exchange (r6): the r5 word_shingles().distinct() spent a
+        # whole extra Exchange on (id, shingle) before re-shuffling by
+        # shingle for the df-cap window. Raw occurrence rows now
+        # shuffle once by shingle; a lag() over (shingle ORDER BY id)
+        # drops within-doc duplicates, and the count window over the
+        # deduped rows (same clustering, no new exchange or sort —
+        # rows are already sorted by (shingle, id)) gives the true
+        # per-shingle doc frequency. Identical output, one Exchange
+        # fewer.
+        rows = word_shingle_rows(df, n, text_col, id_col)
+        wd = Window.partitionBy("shingle").orderBy(id_col)
+        deduped = (
+            rows.withColumn("_prev", F.lag(id_col).over(wd))
+            .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(id_col)))
+            .drop("_prev")
+        )
         w = Window.partitionBy("shingle")
         sh = (
-            sh.withColumn("df", F.count("*").over(w))
+            deduped.withColumn("df", F.count("*").over(w))
             .filter(F.col("df") <= max_shingle_df)
             .drop("df")
         )
+    else:
+        sh = word_shingles(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     # hint the self-join to SMJ: both sides are the SAME subplan already
     # partitioned by shingle (the df-cap window), so the shuffle is
@@ -140,8 +166,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: sig[p] = min(md5(p || '|' || shingle)).
     md5-as-permutation keeps the oracle SQL-expressible; one groupBy,
-    all mins map-side combinable."""
-    sh = word_shingles(df, 3, text_col, id_col)
+    all mins map-side combinable.
+
+    ONE shuffle total (r6): min() is duplicate-invariant, so the
+    per-doc shingle distinct — a whole extra Exchange of the shingle
+    rows — is unnecessary; the groupBy's map-side partial mins reduce
+    each task's rows to n_perm values per doc before anything
+    shuffles (strictly fewer bytes than shuffling distinct shingle
+    rows)."""
+    sh = word_shingle_rows(df, 3, text_col, id_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))).alias(f"mh{p}")
         for p in range(n_perm)
