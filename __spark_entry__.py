@@ -475,22 +475,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def recall_at_k(spark, sf):
         ev = _t(spark, sf, "events")
+        # explicit gt total: purchases plus the id%11==0 events that no
+        # proposal ever covered — the denominator the reference takes
+        # from annotations. r6: carried as a flag COLUMN and summed
+        # inside eval_recalls' one aggregation pass (the r5 separate
+        # 1-row agg re-scanned events and broadcast-joined one scalar).
         scored = ev.select(
             (F.col("event_id") % 50).alias("img_id"),
             F.col("value").alias("conf"),
             (F.col("event_type") == "purchase").cast("int").alias("matched"),
             "event_id",
+            ((F.col("event_type") == "purchase") | (F.col("event_id") % 11 == 0))
+            .cast("int")
+            .alias("gt"),
         )
-        # explicit gt total: purchases plus the id%11==0 events that no
-        # proposal ever covered — the denominator the reference takes
-        # from annotations
-        n_gt = ev.agg(
-            F.sum(
-                ((F.col("event_type") == "purchase") | (F.col("event_id") % 11 == 0))
-                .cast("int")
-            ).alias("n_gt")
-        )
-        return M.eval_recalls(scored, budgets=[5, 20, 100], id_col="event_id", n_gt=n_gt)
+        return M.eval_recalls(scored, budgets=[5, 20, 100], id_col="event_id", n_gt="gt")
 
     q["recall_at_k"] = recall_at_k
 

@@ -789,7 +789,7 @@ def eval_recalls(
     conf_col: str = "conf",
     match_col: str = "matched",
     id_col: str | None = None,
-    n_gt: "int | DataFrame | None" = None,
+    n_gt: "int | str | DataFrame | None" = None,
 ) -> DataFrame:
     """Proposal recall at top-k budgets (davar_custom.py:392-396 ->
     mmdet eval_recalls): per image, rank proposals by confidence and for
@@ -798,11 +798,15 @@ def eval_recalls(
     recall). The per-image window is naturally partitioned (no global
     sort); budgets evaluate in one pass via conditional aggregation.
 
-    ``n_gt``: the TRUE ground-truth total — an int, or a 1-row frame
-    with column n_gt (stays lazy). Strongly encouraged: without it the
-    denominator falls back to the number of matched proposals, which
-    excludes ground truth no proposal covered — an UPPER BOUND on
-    recall, not recall (the reference counts gt from annotations).
+    ``n_gt``: the TRUE ground-truth total — an int, a 1-row frame with
+    column n_gt (stays lazy), or (r6) the NAME of a 0/1 gt-flag column
+    in ``scored``, whose sum is folded into the SAME aggregation pass
+    as the budget hits — no second scan of the source and no broadcast
+    join for one scalar (the frame variant costs both). Strongly
+    encouraged either way: without it the denominator falls back to
+    the number of matched proposals, which excludes ground truth no
+    proposal covered — an UPPER BOUND on recall, not recall (the
+    reference counts gt from annotations).
     """
     order = [F.col(conf_col).desc()] + ([F.col(id_col).asc()] if id_col else [])
     w = Window.partitionBy(group_col).orderBy(*order)
@@ -814,6 +818,10 @@ def eval_recalls(
     ]
     if n_gt is None:
         totals = rk.agg(F.sum(m).alias("n_gt"), *aggs)
+    elif isinstance(n_gt, str):
+        # the window preserves every scored row, so summing the flag
+        # after it equals summing it over `scored`
+        totals = rk.agg(*aggs, F.sum(F.col(n_gt).cast("int")).alias("n_gt"))
     elif isinstance(n_gt, DataFrame):
         totals = rk.agg(*aggs).crossJoin(F.broadcast(n_gt.select("n_gt")))
     else:

@@ -179,6 +179,17 @@ def test_eval_recalls_budgets(spark):
              eval_recalls(df, [3], id_col="did", n_gt=gtdf).collect()}
     assert got4b[3] == 0.75
 
+    # r6 folded variant: gt flag column summed inside the same
+    # aggregation pass (4 flagged rows -> identical denominator), and a
+    # single-job plan (no second scan / broadcast of the scalar)
+    rows_f = [r + (1,) for r in rows[:4]] + [rows[4] + (0,)]
+    dff = spark.createDataFrame(
+        rows_f, "img_id int, conf double, matched int, did int, gt int"
+    )
+    got4c = {r["budget"]: r["recall"] for r in
+             eval_recalls(dff, [3], id_col="did", n_gt="gt").collect()}
+    assert got4c[3] == 0.75
+
 
 def test_viterbi_matches_brute_force():
     import itertools
