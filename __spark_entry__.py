@@ -188,12 +188,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = _t(spark, sf, "orders")
         li = _t(spark, sf, "lineitem")
         # r6: pre-join the dimension chain down to (o_orderkey, r_name)
-        # and broadcast THAT to lineitem — the big side probes one
-        # two-column hashed relation instead of four (orders, customer,
-        # nation, region) in sequence, and the broadcast build ships
-        # 2 columns instead of orders' 6-join-column chain. Same rows,
-        # same aggregation; at cluster scale this is the standard
-        # star-schema collapse (guide §3.1).
+        # so the big side probes ONE two-column relation instead of
+        # four (orders, customer, nation, region) in sequence. No
+        # broadcast hint on the lineitem join on purpose: o_r has
+        # orders cardinality, so a forced broadcast would stop scaling
+        # with the fact tables — the planner/AQE picks broadcast from
+        # its own size estimates here (measured: BroadcastHashJoin at
+        # bench scale, equal-or-faster than the forced hint) and
+        # degrades to a graceful shuffle join when o_r outgrows the
+        # threshold (guide §3.1).
         o_r = (
             o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -201,7 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("o_orderkey", "r_name")
         )
         return (
-            li.join(F.broadcast(o_r), li.l_orderkey == o_r.o_orderkey)
+            li.join(o_r, li.l_orderkey == o_r.o_orderkey)
             .groupBy("r_name")
             .agg(
                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -65,7 +65,11 @@ def main() -> None:
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
-    names = [n for n in (only or HEADLINE) if n in qs]
+    requested = only or HEADLINE
+    unknown = [n for n in requested if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown query name(s): {unknown}")
+    names = list(requested)
 
     # warm: JVM JIT, python workers, parquet footers/page cache
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()

@@ -332,9 +332,15 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str =
     md5 is evaluated once per distinct token into an int array column;
     the 16 per-bit sign sums fold over that array JVM-side. Integer
     sums commute, so the set's nondeterministic order cannot change
-    the output. Per-doc state is the token set — bounded by document
-    length, the same envelope as the r5 two-shuffle formulation's
-    post-distinct groups."""
+    the output. Memory trade, stated honestly: the single aggregation
+    buffer holds one document's distinct-token SET (O(document size)
+    state for one key, which cannot spill mid-key), where the r5
+    distinct+groupBy spread that state across (id, tok) keys at the
+    cost of a second full shuffle. O(one document) single-key state is
+    the same envelope this engine already accepts for span
+    re-assembly (collect_list per doc, plans/extract.py §5); corpora
+    whose single documents outgrow executor memory need doc-level
+    chunking upstream of either formulation."""
     toks = tokenize(df, text_col, id_col).select(id_col, "tok")
     sets = toks.groupBy(id_col).agg(F.collect_set("tok").alias("toks"))
     hs = sets.select(

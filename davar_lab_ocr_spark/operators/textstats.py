@@ -46,7 +46,11 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     two-phase expand (two Exchanges); since the distinct is scoped to
     the group, size(collect_set) inside the single groupBy gives the
     same number with one Exchange. avg as sum(len)/count is the exact
-    same double division the Average aggregate performs."""
+    same double division the Average aggregate performs. Memory trade:
+    the aggregation buffer holds one doc's distinct tokens
+    (O(document) single-key state, the engine's accepted envelope —
+    same as the extract span re-assembly) instead of spreading the
+    distinct over (id, tok) keys via a second shuffle."""
     toks = tokenize(df, text_col, id_col)
     return toks.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
